@@ -1,0 +1,275 @@
+"""Multimodal data utilities: frame sampling, CLIP preprocessing, and the
+modal-token tokenizer splice.
+
+Behavioral parity targets (reference /root/reference/streammind/mm_utils.py):
+  - ``frame_sample``            — segment-middle uniform + fps modes (:377-399)
+  - ``expand2square``           — pad-to-square with CLIP mean fill (:257-269)
+  - ``process_video/image``     — decode → sample → pad → CLIP normalize (:356-460)
+  - ``tokenizer_multimodal_token`` — <video>/<image> split-splice (:567-607)
+
+Everything returns numpy arrays (host side); device placement happens in the
+engine.  No torch anywhere on this path.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .constants import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    CLIP_IMAGE_SIZE,
+    MAX_FRAMES,
+    MMODAL_INDEX_TOKEN,
+    MMODAL_TOKEN_INDEX,
+    NUM_FRAMES,
+    NUM_FRAMES_PER_SECOND,
+    IMAGE_TOKEN_INDEX,
+)
+
+try:  # PIL is ubiquitous but keep the import soft for minimal installs
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+# ---------------------------------------------------------------------------
+# Frame index sampling
+# ---------------------------------------------------------------------------
+def frame_sample_uniform(duration: int, num_frames: int) -> List[int]:
+    """Segment-middle uniform sampling: split [0, duration) into num_frames
+    segments and take each segment's midpoint."""
+    seg_size = float(duration - 1) / num_frames
+    ids = []
+    for i in range(num_frames):
+        start = int(round(seg_size * i))
+        end = int(round(seg_size * (i + 1)))
+        ids.append((start + end) // 2)
+    return ids
+
+
+def frame_sample_fps(
+    duration: int, local_fps: float, target_fps: float = NUM_FRAMES_PER_SECOND
+) -> List[int]:
+    """Sample one frame per 1/target_fps seconds, centered in each interval."""
+    segment_len = min(int(local_fps) // int(target_fps), duration)
+    segment_len = max(segment_len, 1)
+    return list(np.arange(segment_len // 2, duration, segment_len, dtype=int))
+
+
+def frame_sample(
+    duration: int,
+    mode: str = "uniform",
+    num_frames: int = NUM_FRAMES,
+    local_fps: Optional[float] = None,
+) -> List[int]:
+    if mode == "uniform":
+        return frame_sample_uniform(duration, num_frames)
+    if mode == "fps":
+        assert local_fps is not None, "fps sampling needs the source frame rate"
+        return frame_sample_fps(duration, local_fps)
+    raise ValueError(f"Unsupported frame sampling mode: {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Image preprocessing (CLIP ViT-L/14-336 pipeline, numpy end-to-end)
+# ---------------------------------------------------------------------------
+def expand2square(img: "Image.Image", background_color) -> "Image.Image":
+    """Pad a PIL image to square, centering it on the fill color."""
+    width, height = img.size
+    if width == height:
+        return img
+    side = max(width, height)
+    result = Image.new(img.mode, (side, side), background_color)
+    if width > height:
+        result.paste(img, (0, (side - height) // 2))
+    else:
+        result.paste(img, ((side - width) // 2, 0))
+    return result
+
+
+def clip_background_color():
+    return tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
+
+
+def _resize_bicubic(img: "Image.Image", size: int) -> "Image.Image":
+    return img.resize((size, size), Image.BICUBIC)
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top : top + size, left : left + size]
+
+
+def clip_preprocess(
+    images: Sequence["Image.Image"],
+    image_size: int = CLIP_IMAGE_SIZE,
+    pad_square: bool = True,
+    dtype=np.float32,
+) -> np.ndarray:
+    """PIL images → (N, 3, H, W) normalized pixel values.
+
+    With ``pad_square`` the image is first letterboxed with the CLIP mean
+    color (reference 'pad' aspect-ratio mode), then bicubic-resized to the
+    target square; otherwise shortest-edge resize + center crop (the stock
+    CLIPImageProcessor path).
+    """
+    mean = np.asarray(CLIP_IMAGE_MEAN, dtype=np.float32).reshape(3, 1, 1)
+    std = np.asarray(CLIP_IMAGE_STD, dtype=np.float32).reshape(3, 1, 1)
+    out = np.empty((len(images), 3, image_size, image_size), dtype=dtype)
+    bg = clip_background_color()
+    for i, img in enumerate(images):
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if pad_square:
+            img = expand2square(img, bg)
+            img = _resize_bicubic(img, image_size)
+            arr = np.asarray(img, dtype=np.float32)
+        else:
+            w, h = img.size
+            scale = image_size / min(w, h)
+            img = img.resize(
+                (max(image_size, int(round(w * scale))), max(image_size, int(round(h * scale)))),
+                Image.BICUBIC,
+            )
+            arr = _center_crop(np.asarray(img, dtype=np.float32), image_size)
+        arr = arr.transpose(2, 0, 1) / 255.0
+        out[i] = (arr - mean) / std
+    return out
+
+
+def frames_to_pil(video_data: np.ndarray) -> List["Image.Image"]:
+    return [Image.fromarray(f) for f in video_data]
+
+
+# ---------------------------------------------------------------------------
+# Video decode
+# ---------------------------------------------------------------------------
+def read_video_frames(video_path: str, frame_ids: Sequence[int]) -> np.ndarray:
+    """Decode specific frame indices from a video file → (T, H, W, 3) uint8.
+
+    Prefers decord if present, falls back to imageio(+ffmpeg) or PIL for GIFs.
+    The hot serving path uses the native ingest module instead
+    (streammind_tpu/native) — this is the offline/convenience reader.
+    """
+    if video_path.endswith(".gif"):
+        import imageio
+
+        reader = imageio.get_reader(video_path)
+        wanted = set(int(i) for i in frame_ids)
+        frames = [np.asarray(f)[..., :3] for i, f in enumerate(reader) if i in wanted]
+        return np.stack(frames)
+    try:
+        from decord import VideoReader, cpu  # type: ignore
+
+        vr = VideoReader(uri=video_path, ctx=cpu(0), num_threads=1)
+        return vr.get_batch(list(frame_ids)).asnumpy()
+    except ImportError:
+        pass
+    import imageio.v2 as imageio
+
+    reader = imageio.get_reader(video_path)
+    wanted = set(int(i) for i in frame_ids)
+    frames = {i: np.asarray(f) for i, f in enumerate(reader) if i in wanted}
+    return np.stack([frames[int(i)] for i in frame_ids])
+
+
+def video_metadata(video_path: str):
+    """(duration_frames, fps) for a video file."""
+    if video_path.endswith(".gif"):
+        import imageio
+
+        reader = imageio.get_reader(video_path)
+        return sum(1 for _ in reader), 10.0
+    try:
+        from decord import VideoReader, cpu  # type: ignore
+
+        vr = VideoReader(uri=video_path, ctx=cpu(0), num_threads=1)
+        return len(vr), float(vr.get_avg_fps())
+    except ImportError:
+        import imageio.v2 as imageio
+
+        reader = imageio.get_reader(video_path)
+        meta = reader.get_meta_data()
+        n = reader.count_frames()
+        return int(n), float(meta.get("fps", 30.0))
+
+
+def process_video(
+    video_path: Union[str, np.ndarray],
+    num_frames: int = NUM_FRAMES,
+    sample_scheme: str = "uniform",
+    aspect_ratio: str = "pad",
+) -> np.ndarray:
+    """Video file/array → (T, 3, 336, 336) float32 pixel values."""
+    if isinstance(video_path, str):
+        duration, local_fps = video_metadata(video_path)
+        ids = frame_sample(duration, sample_scheme, num_frames, local_fps)
+        if len(ids) > MAX_FRAMES:
+            ids = list(np.linspace(0, duration - 1, MAX_FRAMES, dtype=int))
+        video_data = read_video_frames(video_path, ids)
+    else:
+        video_data = np.asarray(video_path)
+        if video_data.ndim == 3:
+            video_data = video_data[None]
+    images = frames_to_pil(video_data)
+    return clip_preprocess(images, pad_square=(aspect_ratio == "pad"))
+
+
+def process_image(
+    image: Union[str, "Image.Image", np.ndarray], aspect_ratio: str = "pad"
+) -> np.ndarray:
+    """Image → (1, 3, 336, 336) float32 pixel values."""
+    if isinstance(image, str):
+        image = Image.open(image)
+    elif isinstance(image, np.ndarray):
+        image = Image.fromarray(image)
+    return clip_preprocess([image], pad_square=(aspect_ratio == "pad"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer splice
+# ---------------------------------------------------------------------------
+def tokenizer_multimodal_token(
+    prompt: str,
+    tokenizer,
+    multimodal_token_index: int = IMAGE_TOKEN_INDEX,
+) -> List[int]:
+    """Tokenize a prompt containing a modal placeholder (<image>/<video>/<audio>),
+    splicing the negative modal token index where the placeholder sat.
+
+    Matches reference tokenizer_MMODAL_token (mm_utils.py:567-607): each text
+    chunk is tokenized independently; a leading BOS on the first chunk is kept
+    once and BOS tokens of later chunks are dropped along with the separator
+    slot they'd occupy.
+    """
+    placeholder = f"<{MMODAL_INDEX_TOKEN[multimodal_token_index].lower()}>"
+    chunks = [tokenizer(c).input_ids for c in prompt.split(placeholder)]
+
+    input_ids: List[int] = []
+    offset = 0
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if chunks and chunks[0] and bos is not None and chunks[0][0] == bos:
+        offset = 1
+        input_ids.append(chunks[0][0])
+
+    sep = [multimodal_token_index] * (offset + 1)
+    pieces = []
+    for i, chunk in enumerate(chunks):
+        pieces.append(chunk)
+        if i != len(chunks) - 1:
+            pieces.append(sep)
+    for piece in pieces:
+        input_ids.extend(piece[offset:])
+    return input_ids
+
+
+def get_model_name_from_path(model_path: str) -> str:
+    parts = model_path.strip("/").split("/")
+    if parts[-1].startswith("checkpoint-"):
+        return parts[-2] + "_" + parts[-1]
+    return parts[-1]

@@ -1,0 +1,353 @@
+"""Selective-scan (Mamba-1 SSM) ops, TPU-native.
+
+Replaces the reference's CUDA extension `selective_scan_cuda`
+(/root/reference/streammind/model/mamba_ssm/ops/selective_scan_interface.py)
+and the Triton single-token kernel `selective_state_update`
+(/root/reference/streammind/model/mamba_ssm/ops/triton/selective_state_update.py:265).
+
+Three implementations with identical semantics:
+  * ``selective_scan_ref``   — lax.scan reference (ground truth, differentiable)
+  * ``selective_scan_assoc`` — jax.lax.associative_scan (parallel-in-time; the
+                               training path, XLA-differentiable)
+  * ``selective_scan_pallas``— Pallas kernel, time-sequential with the fp32
+                               carry resident in VMEM and channels on lanes
+                               (the inference/prefill path)
+  * ``selective_state_update`` — O(1) per-frame streaming step (the 100 fps
+                               perception hot op), plus a Pallas variant.
+
+Recurrence (discretized, per batch b, channel d, state n):
+  dt'   = softplus(dt + dt_bias)           (when delta_softplus)
+  hbar  = exp(dt' * A[d,n]) * h + dt' * u * B[n]
+  y     = sum_n(hbar * C[n]) + D[d] * u
+  out   = y * silu(z)                      (when z is given)
+
+Shape convention here is time-major-last like the CUDA kernel:
+  u, delta, z : (B, D, L);  A : (D, N);  B, C : (B, N, L);  D, dt_bias : (D,)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_utils import interpret_mode
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _prep(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
+    """Common fp32 pre-processing shared by all implementations."""
+    dtype_in = u.dtype
+    u = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(jnp.float32)[None, :, None]
+    if delta_softplus:
+        delta = _softplus(delta)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    return u, delta, A, B, C, dtype_in
+
+
+def _finish(y, u, D, z, dtype_in):
+    if D is not None:
+        y = y + u * D.astype(jnp.float32)[None, :, None]
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(dtype_in)
+
+
+def selective_scan_ref(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    h0: Optional[jax.Array] = None,
+):
+    """Ground-truth sequential scan via lax.scan.  fp32 state."""
+    u32, delta32, A32, B32, C32, dtype_in = _prep(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+    bsz, d_inner, seqlen = u32.shape
+    d_state = A32.shape[1]
+
+    dA = jnp.exp(delta32[:, :, :, None] * A32[None, :, None, :])  # (B,D,L,N)
+    dBu = (delta32 * u32)[:, :, :, None] * B32[:, None, :, :].transpose(0, 1, 3, 2)
+
+    def step(h, inputs):
+        dA_t, dBu_t, C_t = inputs
+        h = h * dA_t + dBu_t  # (B, D, N)
+        y = jnp.einsum("bdn,bn->bd", h, C_t)
+        return h, y
+
+    init = h0 if h0 is not None else jnp.zeros((bsz, d_inner, d_state), jnp.float32)
+    xs = (
+        dA.transpose(2, 0, 1, 3),  # (L,B,D,N)
+        dBu.transpose(2, 0, 1, 3),
+        C32.transpose(2, 0, 1),  # (L,B,N)
+    )
+    last, ys = jax.lax.scan(step, init, xs)
+    y = ys.transpose(1, 2, 0)  # (B,D,L)
+    out = _finish(y, u32, D, z, dtype_in)
+    if return_last_state:
+        return out, last
+    return out
+
+
+def selective_scan_assoc(
+    u, delta, A, B, C,
+    D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, h0=None,
+):
+    """Parallel-in-time formulation via associative_scan.
+
+    h_t = a_t * h_{t-1} + b_t with a_t = exp(dt_t A), b_t = dt_t u_t B_t is a
+    linear first-order recurrence; the combiner ((a1,b1),(a2,b2)) ->
+    (a1*a2, a2*b1 + b2) is associative, so XLA parallelizes it in log depth.
+    This is the default training path (autodiff flows straight through).
+    """
+    u32, delta32, A32, B32, C32, dtype_in = _prep(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+    bsz, d_inner, seqlen = u32.shape
+
+    dA = jnp.exp(delta32[:, :, :, None] * A32[None, :, None, :])  # (B,D,L,N)
+    dBu = (delta32 * u32)[:, :, :, None] * B32.transpose(0, 2, 1)[:, None, :, :]
+
+    if h0 is not None:
+        # Fold the initial state into the first step: h1 = a1*h0 + b1.
+        dBu = dBu.at[:, :, 0, :].add(dA[:, :, 0, :] * h0)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=2)  # (B,D,L,N)
+    y = jnp.einsum("bdln,bnl->bdl", h, C32)
+    out = _finish(y, u32, D, z, dtype_in)
+    if return_last_state:
+        return out, h[:, :, -1, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: sequential in time, channels on lanes, fp32 carry in VMEM.
+# ---------------------------------------------------------------------------
+def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, h0_ref,
+                 y_ref, hout_ref, h_scr):
+    """One (batch, channel-block) program.
+
+    Block shapes (leading batch block of 1 squeezed by indexing):
+      u_ref, dt_ref : (1, L, DB)   — time on sublanes, channels on lanes
+      A_ref         : (N, DB)
+      B_ref, C_ref  : (1, L, N)
+      h0_ref, hout_ref : (1, N, DB)
+      y_ref         : (1, L, DB)
+      h_scr         : (N, DB) fp32 scratch carry
+    """
+    seqlen = u_ref.shape[1]
+    A = A_ref[:, :]  # (N, DB)
+    h_scr[:, :] = h0_ref[0]
+
+    def body(t, _):
+        dt_t = dt_ref[0, t, :][None, :]          # (1, DB)
+        u_t = u_ref[0, t, :][None, :]            # (1, DB)
+        dA = jnp.exp(dt_t * A)                    # (N, DB)
+        B_t = B_ref[0, t, :][:, None]             # (N, 1)
+        C_t = C_ref[0, t, :][:, None]             # (N, 1)
+        h = h_scr[:, :] * dA + (dt_t * u_t) * B_t
+        h_scr[:, :] = h
+        y_ref[0, t, :] = jnp.sum(h * C_t, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, seqlen, body, 0)
+    hout_ref[0] = h_scr[:, :]
+
+
+def selective_scan_pallas(
+    u, delta, A, B, C,
+    D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, h0=None, block_d: int = 512,
+):
+    """Pallas forward scan.  Semantics identical to selective_scan_ref.
+
+    Grid: (batch, d_inner/block_d); each program scans the full sequence for
+    one channel block with the (N, DB) carry in VMEM.  Layout puts channels
+    on the 128-lane axis and the small state dim N on sublanes.
+    """
+    u32, delta32, A32, B32, C32, dtype_in = _prep(
+        u, delta, A, B, C, D, z, delta_bias, delta_softplus
+    )
+    bsz, d_inner, seqlen = u32.shape
+    d_state = A32.shape[1]
+    block_d = min(block_d, d_inner)
+    assert d_inner % block_d == 0, (d_inner, block_d)
+
+    # Time-major layouts for the kernel.
+    u_t = u32.transpose(0, 2, 1)      # (B, L, D)
+    dt_t = delta32.transpose(0, 2, 1)
+    B_t = B32.transpose(0, 2, 1)      # (B, L, N)
+    C_t = C32.transpose(0, 2, 1)
+    h0_a = (
+        h0.astype(jnp.float32).transpose(0, 2, 1)
+        if h0 is not None
+        else jnp.zeros((bsz, d_state, d_inner), jnp.float32)
+    )
+
+    grid = (bsz, d_inner // block_d)
+    y, h_last = pl.pallas_call(
+        _scan_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, seqlen, block_d), lambda b, d: (b, 0, d)),
+            pl.BlockSpec((1, seqlen, block_d), lambda b, d: (b, 0, d)),
+            pl.BlockSpec((d_state, block_d), lambda b, d: (0, d)),
+            pl.BlockSpec((1, seqlen, d_state), lambda b, d: (b, 0, 0)),
+            pl.BlockSpec((1, seqlen, d_state), lambda b, d: (b, 0, 0)),
+            pl.BlockSpec((1, d_state, block_d), lambda b, d: (b, 0, d)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, seqlen, block_d), lambda b, d: (b, 0, d)),
+            pl.BlockSpec((1, d_state, block_d), lambda b, d: (b, 0, d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, seqlen, d_inner), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, d_state, d_inner), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((d_state, block_d), jnp.float32)],
+        interpret=interpret_mode(),
+    )(u_t, dt_t, A32.T, B_t, C_t, h0_a)
+
+    y = y.transpose(0, 2, 1)  # (B, D, L)
+    out = _finish(y, u32, D, z, dtype_in)
+    if return_last_state:
+        return out, h_last.transpose(0, 2, 1)
+    return out
+
+
+def selective_scan(
+    u, delta, A, B, C,
+    D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, h0=None, impl: str = "auto",
+):
+    """Dispatching front-end.
+
+    impl='auto' uses the associative-scan path (parallel in time, fully
+    differentiable); 'pallas' forces the sequential-kernel forward;
+    'ref' is the lax.scan ground truth.
+    """
+    kw = dict(
+        D=D, z=z, delta_bias=delta_bias, delta_softplus=delta_softplus,
+        return_last_state=return_last_state, h0=h0,
+    )
+    if impl == "ref":
+        return selective_scan_ref(u, delta, A, B, C, **kw)
+    if impl == "pallas":
+        return selective_scan_pallas(u, delta, A, B, C, **kw)
+    return selective_scan_assoc(u, delta, A, B, C, **kw)
+
+
+# ---------------------------------------------------------------------------
+# O(1) streaming step — the per-frame hot op.
+# ---------------------------------------------------------------------------
+def selective_state_update(
+    state: jax.Array,   # (B, D, N) fp32 carried SSM state
+    x: jax.Array,       # (B, D) current input
+    dt: jax.Array,      # (B, D)
+    A: jax.Array,       # (D, N)
+    B: jax.Array,       # (B, N)
+    C: jax.Array,       # (B, N)
+    D: Optional[jax.Array] = None,    # (D,)
+    z: Optional[jax.Array] = None,    # (B, D)
+    dt_bias: Optional[jax.Array] = None,  # (D,)
+    dt_softplus: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single recurrent step: returns (y, new_state).
+
+    Matches the Triton selective_state_update semantics; XLA fuses this into
+    a handful of VPU ops, and under jit it runs in-place on donated state.
+    """
+    dtype_in = x.dtype
+    x32 = x.astype(jnp.float32)
+    dt32 = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dt32 = dt32 + dt_bias.astype(jnp.float32)[None, :]
+    if dt_softplus:
+        dt32 = _softplus(dt32)
+    A32 = A.astype(jnp.float32)
+    dA = jnp.exp(dt32[:, :, None] * A32[None])          # (B, D, N)
+    dBx = (dt32 * x32)[:, :, None] * B.astype(jnp.float32)[:, None, :]
+    new_state = state * dA + dBx
+    y = jnp.einsum("bdn,bn->bd", new_state, C.astype(jnp.float32))
+    if D is not None:
+        y = y + D.astype(jnp.float32)[None, :] * x32
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(dtype_in), new_state
+
+
+# ---------------------------------------------------------------------------
+# Fused depthwise causal conv1d (replaces causal_conv1d_cuda)
+# ---------------------------------------------------------------------------
+def causal_conv1d(
+    x: jax.Array,        # (B, D, L)
+    weight: jax.Array,   # (D, W)
+    bias: Optional[jax.Array] = None,  # (D,)
+    activation: Optional[str] = "silu",
+) -> jax.Array:
+    """Depthwise causal conv over time.  Left-pads with W-1 zeros.
+
+    Written as a stack of shifted adds — W is tiny (4) so this fuses into a
+    few VPU ops instead of a grouped-conv XLA call.
+    """
+    _, _, seqlen = x.shape
+    width = weight.shape[-1]
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    wf = weight.astype(jnp.float32)
+    for k in range(width):
+        shift = width - 1 - k  # tap k sees x[t - shift]
+        if shift == 0:
+            seg = xf
+        else:
+            seg = jnp.pad(xf[:, :, :-shift], ((0, 0), (0, 0), (shift, 0)))
+        out = out + seg * wf[None, :, k, None]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :, None]
+    if activation == "silu":
+        out = jax.nn.silu(out)
+    return out.astype(x.dtype)
+
+
+def causal_conv1d_update(
+    x: jax.Array,          # (B, D) new timestep
+    conv_state: jax.Array,  # (B, D, W) rolling window, oldest first
+    weight: jax.Array,      # (D, W)
+    bias: Optional[jax.Array] = None,
+    activation: Optional[str] = "silu",
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming conv step: roll window, append x, apply taps.
+
+    Returns (y, new_conv_state).
+    """
+    new_state = jnp.concatenate([conv_state[:, :, 1:], x[:, :, None]], axis=2)
+    y = jnp.sum(new_state.astype(jnp.float32) * weight.astype(jnp.float32)[None], axis=-1)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[None, :]
+    if activation == "silu":
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype), new_state
