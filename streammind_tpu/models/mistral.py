@@ -1,0 +1,265 @@
+"""Decoder-only transformer family: Mistral / Llama / Mixtral (MoE).
+
+Replaces the reference's HF backbones
+(/root/reference/streammind/model/language_model/videollama2_mistral.py:146,
+ videollama2_llama.py:41, videollama2_mixtral.py:42) and the gate LM
+(4-layer Mistral with vocab_size=2, builder.py:376-378).
+
+TPU-native design: one stacked-parameter lax.scan over layers (compiles one
+layer body regardless of depth), static-capacity KV cache with length
+masking (the XLA analogue of CUDA-graph decode capture, reference
+mamba_ssm/utils/generation.py:340), GQA flash attention for prefill.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..ops.attention import attention, decode_attention
+from ..ops.norms import rms_norm
+from ..ops.rotary import apply_rope, rope_cos_sin
+from ..utils.params import linear, normal_init, ones, stack_layers
+
+
+class KVCache(NamedTuple):
+    """Static-capacity per-layer KV cache.
+
+    k, v: (n_layers, B, capacity, n_kv_heads, head_dim)
+    length: (B,) int32 — valid prefix length (shared across layers).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: TextConfig, batch: int, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, capacity, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def init_text_params(key, cfg: TextConfig, dtype=jnp.float32):
+    d = cfg.hidden_size
+    keys = jax.random.split(key, cfg.num_layers + 3)
+
+    def layer_init(k):
+        ks = jax.random.split(k, 8)
+        p = {
+            "input_norm": {"weight": ones((d,), dtype)},
+            "q": {"weight": normal_init(ks[0], (cfg.q_dim, d), dtype=dtype)},
+            "k": {"weight": normal_init(ks[1], (cfg.kv_dim, d), dtype=dtype)},
+            "v": {"weight": normal_init(ks[2], (cfg.kv_dim, d), dtype=dtype)},
+            "o": {"weight": normal_init(ks[3], (d, cfg.q_dim), dtype=dtype)},
+            "post_norm": {"weight": ones((d,), dtype)},
+        }
+        if cfg.num_experts > 1:
+            p["router"] = {"weight": normal_init(ks[4], (cfg.num_experts, d), dtype=dtype)}
+            p["experts"] = {
+                "gate": normal_init(ks[5], (cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
+                "up": normal_init(ks[6], (cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
+                "down": normal_init(ks[7], (cfg.num_experts, d, cfg.intermediate_size), dtype=dtype),
+            }
+        else:
+            p["mlp"] = {
+                "gate": {"weight": normal_init(ks[5], (cfg.intermediate_size, d), dtype=dtype)},
+                "up": {"weight": normal_init(ks[6], (cfg.intermediate_size, d), dtype=dtype)},
+                "down": {"weight": normal_init(ks[7], (d, cfg.intermediate_size), dtype=dtype)},
+            }
+        return p
+
+    params = {
+        "embed_tokens": normal_init(keys[0], (cfg.vocab_size, d), dtype=dtype),
+        "layers": stack_layers([layer_init(keys[2 + i]) for i in range(cfg.num_layers)]),
+        "final_norm": {"weight": ones((d,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": normal_init(keys[1], (cfg.vocab_size, d), dtype=dtype)}
+    return params
+
+
+def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][input_ids]
+
+
+def _mlp(x, p, cfg: TextConfig):
+    if cfg.num_experts > 1:
+        return _moe_mlp(x, p, cfg)
+    g = jax.nn.silu(linear(x, p["mlp"]["gate"]))
+    u = linear(x, p["mlp"]["up"])
+    return linear(g * u, p["mlp"]["down"])
+
+
+def _moe_mlp(x, p, cfg: TextConfig):
+    """Mixtral sparse MoE.  Router softmax over top-k experts, renormalized
+    (HF MixtralSparseMoeBlock semantics).  Dispatch is dense one-hot einsum —
+    correct and shardable over the expert axis; a ragged all-to-all kernel is
+    a later optimization.
+    """
+    b, s, d = x.shape
+    xt = x.reshape(b * s, d)
+    router_logits = xt @ p["router"]["weight"].T.astype(xt.dtype)  # (T, E)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    combine = jnp.sum(
+        jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype) * topw[..., None],
+        axis=1,
+    )  # (T, E)
+
+    def expert_apply(carry, ep):
+        gate_w, up_w, down_w, weight_col = ep
+        g = jax.nn.silu(xt @ gate_w.T.astype(xt.dtype))
+        u = xt @ up_w.T.astype(xt.dtype)
+        y = (g * u) @ down_w.T.astype(xt.dtype)
+        return carry + y * weight_col[:, None].astype(xt.dtype), None
+
+    init = jnp.zeros_like(xt)
+    out, _ = jax.lax.scan(
+        expert_apply,
+        init,
+        (
+            p["experts"]["gate"],
+            p["experts"]["up"],
+            p["experts"]["down"],
+            combine.T,  # (E, T)
+        ),
+    )
+    return out.reshape(b, s, d)
+
+
+def _attn_block(
+    x, lp, cfg: TextConfig, positions, kv_mask, cache_k, cache_v, cache_len, attn_impl
+):
+    """One attention sub-block.  If cache_k/v given (capacity C), new K/V are
+    written at cache_len and attention runs over the cache; else pure
+    self-attention over the current block."""
+    b, s, d = x.shape
+    q = linear(x, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = linear(x, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(x, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        # Scatter the new block into the cache at cache_len (per batch row).
+        def put(cache, new):
+            def one(row_cache, row_new, start):
+                return jax.lax.dynamic_update_slice(
+                    row_cache, row_new.astype(row_cache.dtype), (start, 0, 0)
+                )
+            return jax.vmap(one)(cache, new, cache_len)
+
+        cache_k = put(cache_k, k)
+        cache_v = put(cache_v, v)
+        capacity = cache_k.shape[1]
+        total_len = cache_len + s
+        if s == 1:
+            o = decode_attention(q, cache_k, cache_v, total_len)
+        else:
+            # Prefill: causal within the new block, full visibility of the
+            # prefix, nothing beyond total_len.
+            from ..ops.attention import mha_reference
+
+            kv_pos_mask = jnp.arange(capacity)[None, :] < total_len[:, None]
+            kpos = jnp.arange(capacity)[None, :]
+            qpos = cache_len[:, None, None] + jnp.arange(s)[None, :, None]
+            causal_mask = kpos[:, None, :] <= qpos  # (B, S, C)
+            mask = jnp.logical_and(causal_mask, kv_pos_mask[:, None, :])
+            bias = jnp.where(mask, 0.0, -1e30)[:, None, :, :]  # (B,1,S,C)
+            o = mha_reference(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), bias=bias)
+        o = o.reshape(b, s, cfg.q_dim)
+        return linear(o, lp["o"]), cache_k, cache_v
+    else:
+        o = attention(q, k, v, causal=True, kv_mask=kv_mask, impl=attn_impl)
+        o = o.reshape(b, s, cfg.q_dim)
+        return linear(o, lp["o"]), None, None
+
+
+def text_forward(
+    params,
+    cfg: TextConfig,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,  # (B, S) bool — padding mask
+    positions: Optional[jax.Array] = None,  # (B, S) int32
+    cache: Optional[KVCache] = None,
+    cache_advance: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+    return_hidden: bool = False,
+):
+    """Full forward over a token block.
+
+    Without cache: causal self-attention over the block (training).
+    With cache: block is appended at cache.length (prefill or 1-token decode)
+    and attends to the whole valid prefix; returns the updated cache.
+
+    cache_advance: optional (B,) — how far to advance cache.length (defaults
+    to the block size).  Right-padded prefill blocks pass their *real* length
+    so the pad K/V (causally invisible, trailing) are overwritten by the next
+    block.  This keeps every turn shape-stable: one compiled prefill program
+    per bucket size, the XLA analogue of CUDA-graph capture.
+    """
+    x = inputs_embeds if inputs_embeds is not None else embed_tokens(params, input_ids)
+    b, s, d = x.shape
+
+    if positions is None:
+        if cache is not None:
+            positions = cache.length[:, None] + jnp.arange(s)[None, :]
+        else:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+
+    if cache is not None:
+        def body(h, layer):
+            lp, ck, cv = layer
+            y = rms_norm(h, lp["input_norm"]["weight"], cfg.rms_norm_eps)
+            a, ck, cv = _attn_block(
+                y, lp, cfg, positions, attn_mask, ck, cv, cache.length, attn_impl
+            )
+            h = h + a
+            y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
+            h = h + _mlp(y, lp, cfg)
+            return h, (ck, cv)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v)
+        )
+        advance = cache_advance if cache_advance is not None else s
+        new_cache = KVCache(k=new_k, v=new_v, length=cache.length + advance)
+    else:
+        def body(h, lp):
+            y = rms_norm(h, lp["input_norm"]["weight"], cfg.rms_norm_eps)
+            a, _, _ = _attn_block(
+                y, lp, cfg, positions, attn_mask, None, None, None, attn_impl
+            )
+            h = h + a
+            y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
+            h = h + _mlp(y, lp, cfg)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"]["weight"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    logits = lm_head(params, cfg, x)
+    return logits, new_cache
+
+
+def lm_head(params, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
+    w = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]["weight"]
+    return (hidden @ w.T.astype(hidden.dtype)).astype(jnp.float32)

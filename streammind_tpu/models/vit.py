@@ -1,0 +1,135 @@
+"""CLIP ViT vision tower (ViT-L/14-336), TPU-native.
+
+Replaces the reference's frozen HF CLIPVisionModel
+(/root/reference/streammind/model/multimodal_encoder/clip_encoder.py:7-60):
+  - taps hidden layer ``select_layer`` (default -2)
+  - drops the CLS token ("patch" feature select, clip_encoder.py:31-39)
+  - output: (frames, 576, 1024)
+
+TPU-first details: the patch embedding conv is expressed as a reshape +
+matmul (one big MXU op instead of a strided conv), the layer loop is a
+lax.scan over stacked layer params (single compiled block), and attention
+goes through the shared attention dispatcher (flash kernel on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisionConfig
+from ..ops.attention import attention
+from ..ops.norms import layer_norm
+from ..utils.params import (
+    linear,
+    normal_init,
+    ones,
+    stack_layers,
+    torch_linear_init,
+    zeros,
+)
+
+
+def quick_gelu(x):
+    """OpenAI CLIP activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def init_vit_params(key, cfg: VisionConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + 4)
+    d = cfg.hidden_size
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    num_pos = cfg.num_patches + 1
+
+    def layer_init(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": {"weight": ones((d,), dtype), "bias": zeros((d,), dtype)},
+            "q": torch_linear_init(ks[0], d, d, dtype=dtype),
+            "k": torch_linear_init(ks[1], d, d, dtype=dtype),
+            "v": torch_linear_init(ks[2], d, d, dtype=dtype),
+            "o": torch_linear_init(ks[3], d, d, dtype=dtype),
+            "ln2": {"weight": ones((d,), dtype), "bias": zeros((d,), dtype)},
+            "fc1": torch_linear_init(ks[4], cfg.intermediate_size, d, dtype=dtype),
+            "fc2": torch_linear_init(ks[5], d, cfg.intermediate_size, dtype=dtype),
+        }
+
+    return {
+        "class_embedding": normal_init(keys[0], (d,), std=d**-0.5, dtype=dtype),
+        "patch_embedding": normal_init(keys[1], (d, patch_dim), std=0.02, dtype=dtype),
+        "position_embedding": normal_init(keys[2], (num_pos, d), std=0.02, dtype=dtype),
+        "pre_layernorm": {"weight": ones((d,), dtype), "bias": zeros((d,), dtype)},
+        "layers": stack_layers(
+            [layer_init(keys[4 + i]) for i in range(cfg.num_layers)]
+        ),
+    }
+
+
+def _embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
+    """(B, 3, H, W) → (B, 1+P, D): patchify as reshape+matmul, prepend CLS."""
+    b = pixel_values.shape[0]
+    p = cfg.patch_size
+    g = cfg.image_size // p
+    x = pixel_values.reshape(b, 3, g, p, g, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, g * g, 3 * p * p)
+    x = x @ params["patch_embedding"].T.astype(x.dtype)  # (B, P, D)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(x.dtype)[None, None], (b, 1, x.shape[-1])
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + params["position_embedding"].astype(x.dtype)[None]
+
+
+def _encoder_layer(x, lp, cfg: VisionConfig, attn_impl: str):
+    b, s, d = x.shape
+    h = cfg.num_heads
+    hd = cfg.head_dim
+    res = x
+    y = layer_norm(x, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
+    q = linear(y, lp["q"]).reshape(b, s, h, hd)
+    k = linear(y, lp["k"]).reshape(b, s, h, hd)
+    v = linear(y, lp["v"]).reshape(b, s, h, hd)
+    o = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, s, d)
+    x = res + linear(o, lp["o"])
+    res = x
+    y = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+    y = linear(quick_gelu(linear(y, lp["fc1"])), lp["fc2"])
+    return res + y
+
+
+def vit_forward(
+    params,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Frames → patch features at the selected hidden layer.
+
+    pixel_values: (B, 3, H, W) → (B, 576, hidden) with select_feature='patch'.
+    """
+    x = _embed(params, cfg, pixel_values)
+    x = layer_norm(
+        x,
+        params["pre_layernorm"]["weight"],
+        params["pre_layernorm"]["bias"],
+        cfg.layer_norm_eps,
+    )
+
+    # hidden_states[select_layer] with -2 == run all but the last encoder
+    # layer; the tap point is static, so slice the stacked params and scan
+    # only the layers that contribute (no wasted final block).
+    n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 else cfg.select_layer
+    layers = jax.tree.map(lambda a: a[:n_run], params["layers"])
+
+    def body(h, lp):
+        return _encoder_layer(h, lp, cfg, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+
+    if cfg.select_feature == "patch":
+        return x[:, 1:]
+    if cfg.select_feature == "cls_patch":
+        return x
+    raise ValueError(f"Unexpected select feature: {cfg.select_feature}")

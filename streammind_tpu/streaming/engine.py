@@ -1,0 +1,256 @@
+"""The two jitted programs of event-gated cognition.
+
+Design (SURVEY.md §7 / BASELINE.json north star): ONE perception program
+(ViT step + Mamba state update + gate) and ONE cognition program (bucketed
+prefill + while-loop decode on a persistent KV cache), each compiled once
+with static shapes.  Gating is host-side control flow on a 2-float gate
+output, so it never recompiles either program.
+
+Reference behavior being replaced:
+  stream_generate_demo (videollama2_mistral.py:385-439) +
+  prepare_..._inference_demo (videollama2_arch.py:911-993), which re-encode
+  and re-scan every cached frame per frame.  Here each frame costs one ViT
+  forward + one O(1) Mamba step + a 1-token gate forward.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StreamMindConfig
+from ..models import mistral as lm
+from ..models import projector as proj
+from ..models.meta import SplicePlan, build_splice_plan, bucket_length, splice_embeds
+from ..models.vit import vit_forward
+from .state import StreamState, init_stream_state
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+class StreamMindEngine:
+    """Holds params + compiled programs.  One instance per model replica;
+    many StreamSession objects can share it (each owns its StreamState)."""
+
+    def __init__(
+        self,
+        params,
+        cfg: StreamMindConfig,
+        eos_token_id: int = 2,
+        prefill_buckets=DEFAULT_BUCKETS,
+        kv_capacity: Optional[int] = None,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.eos_token_id = eos_token_id
+        self.buckets = tuple(b for b in prefill_buckets if b <= cfg.text.max_position_embeddings)
+        self.kv_capacity = kv_capacity or min(cfg.text.max_position_embeddings, 8192)
+        self.attn_impl = attn_impl
+
+        self._perceive = jax.jit(self._perceive_impl, donate_argnums=(1,))
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(4,))
+        self._decode = jax.jit(self._decode_impl, static_argnums=(3,), donate_argnums=(1,))
+
+    # -- perception -------------------------------------------------------
+    def _perceive_impl(self, pixels, state: StreamState):
+        """pixels: (1, 3, H, W) one frame.  Returns (gate_probs, new_state)."""
+        p, cfg = self.params, self.cfg
+        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        mem_tok, mamba_state = proj.mamba_project_step(
+            p["projector"], cfg, feats, state.mamba
+        )
+        logits = proj.gate_decision_step(p["projector"], cfg, mem_tok)
+        gate_probs = jax.nn.softmax(logits[0].astype(jnp.float32))
+
+        slot = jnp.minimum(state.frame_idx, cfg.max_stream_frames - 1)
+        memory = jax.lax.dynamic_update_slice(
+            state.memory, mem_tok[:, None, :].astype(state.memory.dtype), (0, slot, 0)
+        )
+        new_state = StreamState(
+            mamba=mamba_state,
+            memory=memory,
+            frame_idx=state.frame_idx + 1,
+            last_fire=state.last_fire,
+        )
+        return gate_probs, new_state
+
+    def perceive_step(self, pixels, state: StreamState):
+        return self._perceive(pixels, state)
+
+    # -- cognition --------------------------------------------------------
+    def _prefill_impl(self, token_ids, mem_index, use_mem, memory, cache, real_len):
+        """Bucketed prefill of a right-padded suffix block.
+
+        token_ids/mem_index/use_mem: (1, P); memory: (1, M, D);
+        real_len: () int32 — true suffix length.  Returns (next_token_logits,
+        cache) with cache advanced by real_len.
+        """
+        p, cfg = self.params, self.cfg
+        embeds = splice_embeds(p["text"], token_ids, mem_index, use_mem, memory)
+        logits, cache = lm.text_forward(
+            p["text"], cfg.text, inputs_embeds=embeds, cache=cache,
+            cache_advance=jnp.broadcast_to(real_len, cache.length.shape),
+        )
+        last = jnp.take_along_axis(
+            logits, (real_len - 1)[None, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        return last, cache
+
+    def _decode_impl(self, first_token, cache, eos_id, max_new: int):
+        """Greedy decode loop with early EOS exit, fixed token buffer."""
+        p, cfg = self.params, self.cfg
+
+        def cond(carry):
+            i, tok, cache, buf, done = carry
+            return jnp.logical_and(i < max_new, jnp.logical_not(done))
+
+        def body(carry):
+            i, tok, cache, buf, done = carry
+            buf = buf.at[i].set(tok)
+            logits, cache = lm.text_forward(
+                p["text"], cfg.text, input_ids=tok[None, None], cache=cache
+            )
+            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            done = nxt == eos_id
+            return (i + 1, nxt, cache, buf, done)
+
+        buf = jnp.zeros((max_new,), jnp.int32)
+        i, _, cache, buf, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), first_token, cache, buf, jnp.bool_(False))
+        )
+        return buf, i, cache
+
+    def new_kv_cache(self, dtype=jnp.float32):
+        return lm.init_kv_cache(self.cfg.text, batch=1, capacity=self.kv_capacity, dtype=dtype)
+
+    def prefill(self, plan: SplicePlan, memory: jax.Array, cache):
+        """Host wrapper: run the bucketed prefill program."""
+        last, cache = self._prefill(
+            jnp.asarray(plan.token_ids)[None],
+            jnp.asarray(plan.mem_index)[None],
+            jnp.asarray(plan.use_mem)[None],
+            memory,
+            cache,
+            jnp.int32(plan.length),
+        )
+        return last, cache
+
+    def generate_from_prefill(self, last_logits, cache, max_new_tokens: int = 128):
+        """Greedy continuation after a prefill.  Returns (token_list, cache)."""
+        first = jnp.argmax(last_logits[0]).astype(jnp.int32)
+        if bool(first == self.eos_token_id):
+            return [], cache
+        buf, n, cache = self._decode(first, cache, jnp.int32(self.eos_token_id), max_new_tokens)
+        return [int(t) for t in np.asarray(buf[: int(n)])], cache
+
+
+class StreamSession:
+    """One live stream: host-side control flow around the two programs.
+
+    Mirrors the demo loop (eval/video_score_stream_demo.py:283-302 +
+    stream_generate_demo): per frame → perceive; on gate fire → splice the
+    memory span since the previous fire into the rolling dialogue and decode
+    a turn.  The KV cache persists across turns — each turn only prefills
+    its own suffix.
+    """
+
+    def __init__(
+        self,
+        engine: StreamMindEngine,
+        tokenizer,
+        prompt_ids: Optional[list] = None,
+        max_new_tokens: int = 128,
+        gate_threshold: Optional[float] = None,
+    ):
+        from ..constants import VIDEO_TOKEN_INDEX
+
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+        self.gate_threshold = gate_threshold  # None → argmax (reference demo)
+        self.video_token = VIDEO_TOKEN_INDEX
+
+        self.state = init_stream_state(engine.cfg)
+        self.cache = engine.new_kv_cache()
+        self.turns: list = []
+        # ids not yet prefilled into the cache (starts with the system prompt)
+        self.pending_ids: list = list(prompt_ids) if prompt_ids else []
+        self.interval_ids: list = []
+
+    def process_frame(self, pixels) -> Optional[str]:
+        """One video frame → None (silence) or the generated utterance."""
+        gate_probs, self.state = self.engine.perceive_step(pixels, self.state)
+        if self.gate_threshold is None:
+            fire = bool(np.asarray(gate_probs)[1] > np.asarray(gate_probs)[0])
+        else:
+            fire = bool(np.asarray(gate_probs)[1] > self.gate_threshold)
+        if not fire:
+            return None
+        return self._cognify()
+
+    def _cognify(self) -> str:
+        eng = self.engine
+        cur = int(self.state.frame_idx)
+        start = int(self.state.last_fire)
+        cur_clamped = min(cur, eng.cfg.max_stream_frames)
+        start = min(start, cur_clamped)
+        span = list(range(start, cur_clamped))
+        if not span:
+            span = [max(cur_clamped - 1, 0)]
+        self.interval_ids.append(cur)
+
+        # Suffix ids: "[INST] <video>\n [/INST]" continuation (first turn uses
+        # the full pending prompt which already contains the <video> slot).
+        if self.pending_ids and self.video_token in self.pending_ids:
+            suffix_ids = self.pending_ids
+        else:
+            turn = "[INST] <video>\n [/INST]"
+            from ..mm_utils import tokenizer_multimodal_token
+
+            turn_ids = tokenizer_multimodal_token(turn, self.tokenizer, self.video_token)
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            if bos is not None and turn_ids and turn_ids[0] == bos:
+                turn_ids = turn_ids[1:]  # mid-dialogue: no fresh BOS
+            suffix_ids = self.pending_ids + turn_ids
+        self.pending_ids = []
+
+        n_spliced = len(suffix_ids) - 1 + len(span)
+        bucket = bucket_length(n_spliced, eng.buckets)
+        plan = build_splice_plan(
+            suffix_ids, [len(span)], self.video_token, bucket
+        )
+        # memory gathers use absolute ring-buffer indices
+        mem_index = plan.mem_index.copy()
+        mem_index[plan.use_mem] = np.asarray(span, np.int32)
+        plan = SplicePlan(
+            token_ids=plan.token_ids,
+            mem_index=mem_index,
+            use_mem=plan.use_mem,
+            attn_mask=plan.attn_mask,
+            labels=plan.labels,
+            length=plan.length,
+        )
+
+        last, self.cache = eng.prefill(plan, self.state.memory, self.cache)
+        tokens, self.cache = eng.generate_from_prefill(
+            last, self.cache, self.max_new_tokens
+        )
+        text = self.tokenizer.decode(tokens) if hasattr(self.tokenizer, "decode") else ""
+
+        # roll dialogue forward: utterance + </s> go into the next suffix
+        eos = getattr(self.tokenizer, "eos_token", "</s>")
+        self.turns.append(text)
+        self.pending_ids = tokens + self._encode_no_bos(f"{eos}")
+        self.state = self.state._replace(last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames)))
+        return text
+
+    def _encode_no_bos(self, text: str):
+        ids = self.tokenizer(text).input_ids
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is not None and ids and ids[0] == bos:
+            ids = ids[1:]
+        return ids

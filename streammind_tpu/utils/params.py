@@ -1,0 +1,81 @@
+"""Parameter-tree helpers: initializers, tree math, counting.
+
+Models in this framework are pure functions over nested dicts of jnp arrays
+("param trees").  Weight layout convention for linear layers is
+``(out_features, in_features)`` — the same as torch — so converted
+checkpoints drop in without transposition, and matmuls are written
+``x @ W.T`` (XLA canonicalizes the transpose away).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_linear_init(key, out_features: int, in_features: int, bias: bool = True,
+                      dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming-uniform weights, uniform bias."""
+    wkey, bkey = jax.random.split(key)
+    bound_w = math.sqrt(1.0 / in_features) * math.sqrt(3.0)  # kaiming a=sqrt(5)
+    w = jax.random.uniform(wkey, (out_features, in_features), dtype,
+                           minval=-bound_w, maxval=bound_w)
+    out = {"weight": w}
+    if bias:
+        bound_b = 1.0 / math.sqrt(in_features)
+        out["bias"] = jax.random.uniform(bkey, (out_features,), dtype,
+                                         minval=-bound_b, maxval=bound_b)
+    return out
+
+
+def normal_init(key, shape, std: float = 0.02, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def zeros(shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+def ones(shape, dtype=jnp.float32):
+    return jnp.ones(shape, dtype)
+
+
+def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """x @ W.T + b with (out, in)-layout weights."""
+    y = x @ p["weight"].T.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def param_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+
+def flatten_with_paths(tree, prefix: str = "") -> Iterator[Tuple[str, Any]]:
+    """Yield ('a.b.c', leaf) pairs for a nested dict tree."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from flatten_with_paths(v, f"{prefix}{k}." if prefix or k else k)
+    else:
+        yield prefix.rstrip("."), tree
+
+
+def cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def stack_layers(layer_params: list):
+    """Stack a list of identical param trees along a new leading axis so the
+    layer loop can be a lax.scan (compile-once for N layers)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layer_params)

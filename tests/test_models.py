@@ -1,0 +1,151 @@
+"""Model-layer tests: ViT vs torch CLIP math, decoder cache consistency,
+Mamba stream-vs-scan, projector shapes + gate loss."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streammind_tpu.config import (
+    tiny_mamba_config,
+    tiny_streammind_config,
+    tiny_text_config,
+    tiny_vision_config,
+)
+from streammind_tpu.models import mamba as mamba_mod
+from streammind_tpu.models import mistral as lm
+from streammind_tpu.models import projector as proj
+from streammind_tpu.models.vit import init_vit_params, vit_forward
+
+
+def test_vit_shapes_and_layer_tap(rng):
+    cfg = tiny_vision_config()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 3, 56, 56)), jnp.float32)
+    out = vit_forward(params, cfg, pixels)
+    # 56/14 = 4 → 16 patches, CLS dropped
+    assert out.shape == (2, 16, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_text_forward_causality(rng):
+    cfg = tiny_text_config()
+    params = lm.init_text_params(jax.random.PRNGKey(1), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 10)))
+    logits, _ = lm.text_forward(params, cfg, input_ids=ids)
+    # future-token perturbation must not affect past logits
+    ids2 = ids.at[0, 7].set((int(ids[0, 7]) + 1) % cfg.vocab_size)
+    logits2, _ = lm.text_forward(params, cfg, input_ids=ids2)
+    np.testing.assert_allclose(
+        np.asarray(logits[0, :7]), np.asarray(logits2[0, :7]), rtol=1e-5, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(logits[0, 7:]), np.asarray(logits2[0, 7:]))
+
+
+def test_text_cache_matches_full_forward(rng):
+    """prefill + step-by-step decode must reproduce the full forward logits."""
+    cfg = tiny_text_config()
+    params = lm.init_text_params(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+    full_logits, _ = lm.text_forward(params, cfg, input_ids=ids)
+
+    cache = lm.init_kv_cache(cfg, batch=2, capacity=16, dtype=jnp.float32)
+    pre_logits, cache = lm.text_forward(params, cfg, input_ids=ids[:, :8], cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[:, :8]), rtol=2e-4, atol=2e-4
+    )
+    for t in range(8, 12):
+        step_logits, cache = lm.text_forward(
+            params, cfg, input_ids=ids[:, t : t + 1], cache=cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]),
+            np.asarray(full_logits[:, t]),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+    assert int(cache.length[0]) == 12
+
+
+def test_moe_runs_and_routes(rng):
+    cfg = tiny_text_config()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_experts=4, num_experts_per_tok=2)
+    params = lm.init_text_params(jax.random.PRNGKey(3), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)))
+    logits, _ = lm.text_forward(params, cfg, input_ids=ids)
+    assert logits.shape == (2, 6, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_video_mamba_stream_equals_forward(rng):
+    cfg = tiny_mamba_config()
+    params = mamba_mod.init_video_mamba_params(jax.random.PRNGKey(4), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 9, cfg.d_model)), jnp.float32)
+    y_full, final_state = mamba_mod.video_mamba_forward(params, cfg, x)
+
+    state = mamba_mod.init_mamba_state(cfg, batch=2)
+    ys = []
+    for t in range(9):
+        y_t, state = mamba_mod.video_mamba_step(params, cfg, x[:, t], state)
+        ys.append(y_t)
+    y_stream = jnp.stack(ys, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(y_stream), np.asarray(y_full), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.ssm), np.asarray(final_state.ssm), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.conv), np.asarray(final_state.conv), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_projector_stream_equals_batch(rng):
+    cfg = tiny_streammind_config()
+    params = proj.init_projector_params(jax.random.PRNGKey(5), cfg)
+    frames = jnp.asarray(
+        rng.standard_normal((1, 7, 16, cfg.mm_hidden_size)), jnp.float32
+    )
+    mem_full, _ = proj.mamba_project(params, cfg, frames)
+    assert mem_full.shape == (1, 7, cfg.text.hidden_size)
+
+    state = mamba_mod.init_mamba_state(cfg.mamba, batch=1)
+    toks = []
+    for t in range(7):
+        tok, state = proj.mamba_project_step(params, cfg, frames[:, t], state)
+        toks.append(tok)
+    mem_stream = jnp.stack(toks, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(mem_stream), np.asarray(mem_full), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_gate_decision_and_loss(rng):
+    cfg = tiny_streammind_config()
+    params = proj.init_projector_params(jax.random.PRNGKey(6), cfg)
+    mem = jnp.asarray(rng.standard_normal((1, cfg.text.hidden_size)), jnp.float32)
+    logits = proj.gate_decision_step(params, cfg, mem)
+    assert logits.shape == (1, 2)
+
+    seq_logits = jnp.asarray(rng.standard_normal((2, 6, 2)), jnp.float32)
+    labels = jnp.asarray([[-100, 0, 0, 1, -100, 1], [0, 0, -100, -100, 1, 0]])
+    loss = proj.gate_loss(seq_logits, labels)
+    assert np.isfinite(float(loss))
+
+    # all-ignored labels → zero-ish loss, not NaN
+    loss0 = proj.gate_loss(seq_logits, jnp.full_like(labels, -100))
+    assert np.isfinite(float(loss0))
+
+
+def test_simple_projectors(rng):
+    cfg = tiny_streammind_config().replace(mm_projector_type="linear")
+    params = proj.init_projector_params(jax.random.PRNGKey(7), cfg)
+    frames = jnp.asarray(rng.standard_normal((2, 4, 16, cfg.mm_hidden_size)), jnp.float32)
+    out = proj.simple_project(params, cfg, frames)
+    assert out.shape == (2, 16, cfg.text.hidden_size)
+
+    cfg2 = cfg.replace(mm_projector_type="mlp2x_gelu")
+    params2 = proj.init_projector_params(jax.random.PRNGKey(8), cfg2)
+    out2 = proj.simple_project(params2, cfg2, frames)
+    assert out2.shape == (2, 16, cfg.text.hidden_size)

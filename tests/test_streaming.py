@@ -1,0 +1,129 @@
+"""Streaming engine tests: the perception loop, the bucketed-prefill
+cognition path vs. a no-cache full forward, and the session control flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streammind_tpu.config import tiny_streammind_config
+from streammind_tpu.constants import VIDEO_TOKEN_INDEX
+from streammind_tpu.models import mistral as lm
+from streammind_tpu.models.meta import (
+    build_splice_plan,
+    init_streammind_params,
+    splice_embeds,
+)
+from streammind_tpu.streaming import StreamMindEngine, StreamSession, init_stream_state
+
+
+class FakeTokenizer:
+    bos_token_id = 1
+    eos_token_id = 2
+    eos_token = "</s>"
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text):
+        ids = [self.bos_token_id] + [3 + (ord(c) % 200) for c in text][:20]
+        return self._Out(ids)
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    engine = StreamMindEngine(params, cfg, eos_token_id=2, prefill_buckets=(32, 64))
+    return cfg, params, engine
+
+
+def _frame(rng, cfg):
+    return jnp.asarray(
+        rng.standard_normal((1, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        jnp.float32,
+    )
+
+
+def test_perceive_step_updates_state(setup, rng):
+    cfg, params, engine = setup
+    state = init_stream_state(cfg)
+    probs, state = engine.perceive_step(_frame(rng, cfg), state)
+    assert probs.shape == (2,)
+    np.testing.assert_allclose(float(jnp.sum(probs)), 1.0, rtol=1e-5)
+    assert int(state.frame_idx) == 1
+    # memory slot 0 written
+    assert float(jnp.abs(state.memory[0, 0]).sum()) > 0
+    assert float(jnp.abs(state.memory[0, 1]).sum()) == 0
+
+
+def test_prefill_decode_matches_full_forward(setup, rng):
+    """Bucketed prefill + greedy while-loop decode == naive full re-forward
+    greedy decoding (the correctness contract of the cognition program)."""
+    cfg, params, engine = setup
+    ids = [1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4]
+    span = [0, 1, 2]
+    memory = jnp.asarray(rng.standard_normal((1, cfg.max_stream_frames, cfg.text.hidden_size)), jnp.float32)
+    plan = build_splice_plan(ids, [len(span)], VIDEO_TOKEN_INDEX, 32)
+
+    cache = engine.new_kv_cache()
+    last, cache = engine.prefill(plan, memory, cache)
+    tokens, cache = engine.generate_from_prefill(last, cache, max_new_tokens=8)
+
+    # naive: full forward over growing embeds, greedy
+    tok_ids = jnp.asarray(plan.token_ids)[None]
+    embeds = splice_embeds(
+        params["text"], tok_ids, jnp.asarray(plan.mem_index)[None],
+        jnp.asarray(plan.use_mem)[None], memory,
+    )[:, : plan.length]
+    naive = []
+    cur = embeds
+    for _ in range(8 + 1):
+        logits, _ = lm.text_forward(params["text"], cfg.text, inputs_embeds=cur)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if nxt == 2 or len(naive) == 8:
+            if nxt != 2 and len(naive) < 8:
+                naive.append(nxt)
+            break
+        naive.append(nxt)
+        cur = jnp.concatenate(
+            [cur, params["text"]["embed_tokens"][jnp.asarray([[nxt]])]], axis=1
+        )
+    assert tokens == naive
+
+
+def test_session_silence_and_fire(setup, rng):
+    cfg, params, engine = setup
+    tok = FakeTokenizer()
+    prompt_ids = [1, 10, 11, VIDEO_TOKEN_INDEX, 12]
+
+    # never fire
+    s = StreamSession(engine, tok, prompt_ids=list(prompt_ids), gate_threshold=2.0)
+    for _ in range(3):
+        assert s.process_frame(_frame(rng, cfg)) is None
+    assert int(s.state.frame_idx) == 3
+    assert int(s.cache.length[0]) == 0
+
+    # always fire: every frame produces a turn, cache grows monotonically
+    s2 = StreamSession(
+        engine, tok, prompt_ids=list(prompt_ids), gate_threshold=-1.0, max_new_tokens=4
+    )
+    out1 = s2.process_frame(_frame(rng, cfg))
+    assert out1 is not None
+    len1 = int(s2.cache.length[0])
+    assert len1 > 0
+    out2 = s2.process_frame(_frame(rng, cfg))
+    assert out2 is not None
+    assert int(s2.cache.length[0]) > len1
+    assert int(s2.state.last_fire) == 2
+    assert s2.interval_ids == [1, 2]
+
+
+def test_splice_plan_validation():
+    with pytest.raises(ValueError):
+        build_splice_plan([1, 2], [3], VIDEO_TOKEN_INDEX, 32)  # no slot
+    with pytest.raises(ValueError):
+        build_splice_plan([1, VIDEO_TOKEN_INDEX], [64], VIDEO_TOKEN_INDEX, 32)  # too long
