@@ -1,0 +1,10 @@
+from .objectives import lm_cross_entropy, stage1_llm_loss, stage2_gate_loss
+from .trainer import (
+    TrainState,
+    cosine_schedule,
+    count_trainable,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)

@@ -1,0 +1,155 @@
+"""Training runtime: freeze masks, optimizer, sharded train step.
+
+Replaces the reference's HF Trainer + DeepSpeed stack
+(/root/reference/streammind/videollama2_trainer_score.py:319-1202,
+train_new_stream.py:683-1060):
+  - stage control / freeze logic (train_new_stream.py:879-900):
+      stage1 'llm'      — train decoder + projector except gate params
+      stage2 'cls'      — train ONLY the gate (cls) params
+      'adapter'         — tune_mm_mlp_adapter: only the projector
+  - separate projector LR (videollama2_trainer_score.py:341-384)
+  - ZeRO-equivalent sharding comes from the fsdp mesh axis; the train step
+    is one pjit program (gradients reduce over dp/fsdp automatically).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import StreamMindConfig
+from ..parallel.partitioning import param_shardings
+from ..utils.params import flatten_with_paths
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Freeze masks
+# ---------------------------------------------------------------------------
+_GATE_PAT = re.compile(r"projector\.cls_net\.")
+_PROJECTOR_PAT = re.compile(r"projector\.")
+_VISION_PAT = re.compile(r"vision\.")
+
+
+def trainable_mask(params, stage: str) -> Any:
+    """Bool tree: True == trainable.  Vision tower is always frozen
+    (reference never unfreezes CLIP)."""
+
+    def decide(path: str) -> bool:
+        if _VISION_PAT.match(path):
+            return False
+        is_gate = bool(_GATE_PAT.match(path))
+        is_proj = bool(_PROJECTOR_PAT.match(path))
+        if stage == "llm":       # stage 1: everything but the gate
+            return not is_gate
+        if stage == "cls":       # stage 2: only the gate
+            return is_gate
+        if stage == "adapter":   # mm-adapter pretrain: projector minus gate
+            return is_proj and not is_gate
+        raise ValueError(f"unknown stage {stage!r}")
+
+    def build(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: build(v, prefix + k + ".") for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [build(v, prefix + str(i) + ".") for i, v in enumerate(tree)]
+        return decide(prefix.rstrip("."))
+
+    return build(params, "")
+
+
+def make_optimizer(
+    learning_rate,
+    mask,
+    projector_lr=None,
+    params=None,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+):
+    """AdamW with frozen-leaf masking and an optional separate projector LR
+    (reference mm_projector_lr, videollama2_trainer_score.py:355-384)."""
+
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        )
+
+    if projector_lr is None:
+        tx = adamw(learning_rate)
+    else:
+        def label(tree):
+            def build(t, prefix):
+                if isinstance(t, dict):
+                    return {k: build(v, prefix + k + ".") for k, v in t.items()}
+                if isinstance(t, list):
+                    return [build(v, prefix + str(i) + ".") for i, v in enumerate(t)]
+                return "proj" if prefix.startswith("projector.") else "base"
+            return build(tree, "")
+
+        tx = optax.multi_transform(
+            {"base": adamw(learning_rate), "proj": adamw(projector_lr)}, label
+        )
+
+    # zero-out updates for frozen leaves
+    return optax.chain(
+        optax.masked(tx, mask),
+        optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, mask)),
+    )
+
+
+def cosine_schedule(peak_lr: float, total_steps: int, warmup_ratio: float = 0.03):
+    """Reference stage scripts: cosine with 3% warmup (finetune_stage1.sh)."""
+    warmup = max(int(total_steps * warmup_ratio), 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup,
+        decay_steps=total_steps,
+        end_value=0.0,
+    )
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(loss_fn: Callable, optimizer) -> Callable:
+    """loss_fn(params, batch) -> scalar.  Returns jittable
+    step(state, batch) -> (state, metrics).  Shard params/batch before jit;
+    GSPMD handles the rest."""
+
+    def step(state: TrainState, batch) -> tuple:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return step
+
+
+def count_trainable(params, mask) -> int:
+    leaves = jax.tree.leaves(
+        jax.tree.map(lambda p, m: int(p.size) if m else 0, params, mask)
+    )
+    return sum(leaves)
