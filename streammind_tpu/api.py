@@ -1,0 +1,186 @@
+"""Public inference API — mirrors the reference surface
+(/root/reference/streammind/__init__.py:14-117):
+
+  model_init(model_path) -> (model, processor, tokenizer, version)
+  infer(model, video, instruct, tokenizer, ...) -> str
+  x_infer(video, question, model, tokenizer, mode=...) -> str
+
+`model` here is a StreamMindModel bundle (params + config + engine) rather
+than a torch nn.Module; everything else keeps the same call shapes so eval
+scripts port 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import StreamMindConfig
+from .constants import DEFAULT_MMODAL_TOKEN, MMODAL_TOKEN_INDEX, NUM_FRAMES
+from .conversation import SeparatorStyle, conv_templates
+from .mm_utils import get_model_name_from_path, process_video, tokenizer_multimodal_token
+from .models import projector as proj_mod
+from .models.meta import build_splice_plan, bucket_length, encode_frames, init_streammind_params
+from .streaming.engine import StreamMindEngine, StreamSession
+
+
+@dataclasses.dataclass
+class StreamMindModel:
+    """Loaded model bundle: params on device + config + compiled engine."""
+
+    params: dict
+    cfg: StreamMindConfig
+    engine: StreamMindEngine
+    model_path: str = ""
+
+    def new_session(self, tokenizer, **kw) -> StreamSession:
+        return StreamSession(self.engine, tokenizer, **kw)
+
+
+def _load_config(model_path: str) -> StreamMindConfig:
+    for name in ("streammind_config.json",):
+        p = os.path.join(model_path, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return StreamMindConfig.from_json(f.read())
+    return StreamMindConfig()
+
+
+def model_init(
+    model_path: Optional[str] = None,
+    model_name: str = "StreamMind-7B",
+    cfg: Optional[StreamMindConfig] = None,
+    dtype=jnp.bfloat16,
+    params: Optional[dict] = None,
+    tokenizer=None,
+    seed: int = 0,
+):
+    """Load (or randomly initialize, for tests) a StreamMind model.
+
+    Returns (model, processor, tokenizer, version) like the reference's
+    model_init (+version as in eval scripts' 4-tuple variant).
+    """
+    model_name = model_name or get_model_name_from_path(model_path or "")
+    if cfg is None:
+        cfg = _load_config(model_path) if model_path else StreamMindConfig()
+
+    if params is None:
+        if model_path and os.path.isdir(model_path):
+            from .utils.convert import convert_streammind_checkpoint
+
+            params = convert_streammind_checkpoint(model_path, cfg, dtype)
+            missing = {"vision", "projector", "text"} - set(params)
+            if missing:
+                init = init_streammind_params(jax.random.PRNGKey(seed), cfg, dtype)
+                for k in missing:
+                    params[k] = init[k]
+        else:
+            params = init_streammind_params(jax.random.PRNGKey(seed), cfg, dtype)
+
+    if tokenizer is None and model_path:
+        try:
+            import transformers
+
+            tokenizer = transformers.AutoTokenizer.from_pretrained(model_path)
+            if tokenizer.unk_token is not None:
+                tokenizer.pad_token = tokenizer.unk_token
+        except Exception:
+            tokenizer = None
+
+    eos_id = getattr(tokenizer, "eos_token_id", 2) if tokenizer else 2
+    engine = StreamMindEngine(params, cfg, eos_token_id=eos_id or 2)
+    model = StreamMindModel(params=params, cfg=cfg, engine=engine,
+                            model_path=model_path or "")
+
+    if "vicuna" in model_name.lower():
+        version = "v1"
+    else:
+        version = "llama_2"
+    processor = partial(process_video, num_frames=cfg.num_frames or NUM_FRAMES,
+                        aspect_ratio=None)
+    return model, processor, tokenizer, version
+
+
+def infer(
+    model: StreamMindModel,
+    video,
+    instruct: str,
+    tokenizer,
+    do_sample: bool = False,
+    version: str = "llama_2",
+    max_new_tokens: int = 1024,
+    seed: int = 0,
+):
+    """Offline video QA: encode all frames → Mamba memory tokens → splice →
+    prefill + decode.  video: (T, 3, H, W) array of CLIP pixel values."""
+    cfg, engine = model.cfg, model.engine
+
+    modal_token = DEFAULT_MMODAL_TOKEN["VIDEO"]
+    modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
+    conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
+    conv.append_message(conv.roles[0], modal_token + "\n" + instruct)
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_index)
+
+    pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
+    feats = encode_frames(model.params, cfg, pixels)
+    memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
+    T = memory.shape[1]
+
+    n_spliced = len(input_ids) - 1 + T
+    bucket = bucket_length(n_spliced, engine.buckets)
+    plan = build_splice_plan(input_ids, [T], modal_index, bucket)
+
+    # pad memory into a bucket-stable buffer so one compiled prefill serves
+    # every video length up to max_stream_frames
+    mem_buf = jnp.zeros(
+        (1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype
+    )
+    mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
+
+    cache = engine.new_kv_cache(dtype=memory.dtype)
+    last, cache = engine.prefill(plan, mem_buf, cache)
+    tokens, _ = engine.generate_from_prefill(
+        last, cache, max_new_tokens=max_new_tokens,
+        temperature=0.2 if do_sample else 0.0,
+        rng_key=jax.random.PRNGKey(seed),
+    )
+    if not hasattr(tokenizer, "decode"):
+        return ""
+    try:
+        return tokenizer.decode(tokens, skip_special_tokens=True).strip()
+    except TypeError:  # minimal tokenizers without the HF kwarg
+        return tokenizer.decode(tokens).strip()
+
+
+def engine_dtype(model: StreamMindModel):
+    leaf = jax.tree.leaves(model.params["vision"])[0]
+    return leaf.dtype
+
+
+def x_infer(video, question, model, tokenizer, mode: str = "vanilla",
+            do_sample: bool = False, version: str = "llama_2"):
+    """Benchmark-mode wrapper (reference x_infer, __init__.py:94-117)."""
+    if mode == "mcqa":
+        instruction = (
+            f"{question}\nAnswer with the option's letter from the given "
+            f"choices directly and only give the best option."
+        )
+    elif mode == "openend":
+        instruction = (
+            f"{question}\nAnswer the question using a single word or a short "
+            f"phrase with multiple words."
+        )
+    elif mode == "vanilla":
+        instruction = question
+    else:
+        raise ValueError(f"unknown x_infer mode: {mode}")
+    return infer(model=model, tokenizer=tokenizer, video=video,
+                 instruct=instruction, do_sample=do_sample, version=version)

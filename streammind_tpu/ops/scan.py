@@ -324,7 +324,8 @@ def causal_conv1d(
         if shift == 0:
             seg = xf
         else:
-            seg = jnp.pad(xf[:, :, :-shift], ((0, 0), (0, 0), (shift, 0)))
+            # pad-then-slice stays correct when seqlen < shift
+            seg = jnp.pad(xf, ((0, 0), (0, 0), (shift, 0)))[:, :, :seqlen]
         out = out + seg * wf[None, :, k, None]
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :, None]

@@ -1,0 +1,257 @@
+"""HTTP model worker: hosts the two jitted programs and streams generations.
+
+Protocol parity with the reference worker
+(/root/reference/streammind/serve/model_worker.py):
+  - registers with the controller at startup (:118-129)
+  - heartbeats every WORKER_HEART_BEAT_INTERVAL seconds, re-registering if
+    the controller forgot it (:130-149)
+  - POST /worker_generate_stream: params {prompt, video(base64/np path) |
+    images, temperature, max_new_tokens, stop} → \\0-framed JSON chunks
+    {"text": ..., "error_code": 0} (:166-300)
+  - POST /worker_get_status: {model_names, speed, queue_length} (:344-361)
+  - bounded concurrency via a semaphore (:151-156)
+
+stdlib HTTP; generation streams token-by-token through
+StreamMindEngine.decode_stream (the XLA analogue of TextIteratorStreamer).
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..constants import WORKER_HEART_BEAT_INTERVAL, MMODAL_TOKEN_INDEX
+from ..utils.logging import build_logger
+from .controller import SERVER_ERROR_MSG, http_post_json
+
+logger = build_logger("model_worker", "model_worker.log")
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        controller_addr: str,
+        worker_addr: str,
+        model_path: str,
+        model_name: Optional[str] = None,
+        limit_model_concurrency: int = 5,
+        no_register: bool = False,
+        model=None,
+        tokenizer=None,
+    ):
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.model_name = model_name or (model_path.split("/")[-1] if model_path else "streammind")
+        self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.limit = limit_model_concurrency
+        self._active = 0
+
+        if model is None:
+            from ..api import model_init
+
+            model, self.processor, tokenizer, self.version = model_init(model_path)
+        else:
+            self.processor, self.version = None, "llama_2"
+        self.model = model
+        self.tokenizer = tokenizer
+
+        if not no_register:
+            self.register_to_controller()
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            t.start()
+
+    # -- controller plumbing ---------------------------------------------
+    def register_to_controller(self):
+        logger.info("Register to controller")
+        http_post_json(
+            self.controller_addr + "/register_worker",
+            {
+                "worker_name": self.worker_addr,
+                "check_heart_beat": True,
+                "worker_status": self.get_status(),
+            },
+        )
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                exist = http_post_json(
+                    self.controller_addr + "/receive_heart_beat",
+                    {
+                        "worker_name": self.worker_addr,
+                        "queue_length": self.get_queue_length(),
+                    },
+                    timeout=5,
+                )["exist"]
+                if not exist:
+                    self.register_to_controller()
+            except Exception as e:  # noqa: BLE001
+                logger.error(f"heart beat error: {e}")
+
+    def get_queue_length(self) -> int:
+        return self.limit - self.semaphore._value + self._active * 0
+
+    def get_status(self) -> dict:
+        return {
+            "model_names": [self.model_name],
+            "speed": 1,
+            "queue_length": self.get_queue_length(),
+        }
+
+    # -- generation -------------------------------------------------------
+    def _decode_video_param(self, params: dict):
+        """video: base64 npz / nested list / server-side path."""
+        if "video_b64" in params:
+            raw = base64.b64decode(params["video_b64"])
+            arr = np.load(io.BytesIO(raw))
+            return arr["pixels"] if hasattr(arr, "files") else np.asarray(arr)
+        if "video_path" in params and self.processor is not None:
+            return self.processor(params["video_path"])
+        if "video" in params:
+            return np.asarray(params["video"], np.float32)
+        return None
+
+    def generate_stream(self, params: dict):
+        from .. import api
+
+        prompt = params["prompt"]
+        temperature = float(params.get("temperature", 0.0))
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop")
+
+        video = self._decode_video_param(params)
+        if video is None:
+            yield json.dumps(
+                {"text": "(no video provided)", "error_code": 1}
+            ).encode() + b"\0"
+            return
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..mm_utils import tokenizer_multimodal_token
+        from ..models import projector as proj_mod
+        from ..models.meta import build_splice_plan, bucket_length, encode_frames
+
+        model, tokenizer = self.model, self.tokenizer
+        cfg, engine = model.cfg, model.engine
+        modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
+        input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_index)
+
+        pixels = jnp.asarray(video, api.engine_dtype(model))
+        feats = encode_frames(model.params, cfg, pixels)
+        memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
+        T = memory.shape[1]
+        plan = build_splice_plan(
+            input_ids, [T], modal_index,
+            bucket_length(len(input_ids) - 1 + T, engine.buckets),
+        )
+        mem_buf = jnp.zeros((1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype)
+        mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
+
+        cache = engine.new_kv_cache(dtype=memory.dtype)
+        last, cache = engine.prefill(plan, mem_buf, cache)
+
+        generated: list = []
+        text = ""
+        for tok, cache in engine.decode_stream(
+            last, cache, max_new_tokens=max_new_tokens, temperature=temperature
+        ):
+            generated.append(tok)
+            try:
+                text = tokenizer.decode(generated, skip_special_tokens=True)
+            except TypeError:
+                text = tokenizer.decode(generated)
+            if stop_str and stop_str in text:
+                text = text.split(stop_str)[0]
+                yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
+                return
+            yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
+
+    def generate_stream_gate(self, params: dict):
+        try:
+            with self.semaphore:
+                self._active += 1
+                try:
+                    yield from self.generate_stream(params)
+                finally:
+                    self._active -= 1
+        except Exception as e:  # noqa: BLE001
+            logger.exception("generate error")
+            yield json.dumps(
+                {"text": f"{SERVER_ERROR_MSG}\n\n({e})", "error_code": 1}
+            ).encode() + b"\0"
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s" % (self.address_string(), fmt % args))
+
+        def _json(self, payload: dict, status: int = 200):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(length) or b"{}")
+            path = self.path.rstrip("/")
+            if path == "/worker_generate_stream":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream_gate(data):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            elif path == "/worker_get_status":
+                self._json(worker.get_status())
+            else:
+                self._json({"error": f"unknown path {path}"}, status=404)
+
+    return Handler
+
+
+def serve_worker(worker: ModelWorker, host: str, port: int) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(worker))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--controller-address", type=str, default="http://localhost:10000")
+    parser.add_argument("--worker-address", type=str, default="http://localhost:21002")
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-name", type=str, default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    args = parser.parse_args()
+    worker = ModelWorker(
+        args.controller_address,
+        args.worker_address,
+        args.model_path,
+        args.model_name,
+        args.limit_model_concurrency,
+        args.no_register,
+    )
+    server = serve_worker(worker, args.host, args.port)
+    logger.info(f"worker listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

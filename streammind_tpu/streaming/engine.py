@@ -54,6 +54,7 @@ class StreamMindEngine:
         self._perceive = jax.jit(self._perceive_impl, donate_argnums=(1,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(4,))
         self._decode = jax.jit(self._decode_impl, static_argnums=(3,), donate_argnums=(1,))
+        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
 
     # -- perception -------------------------------------------------------
     def _perceive_impl(self, pixels, state: StreamState):
@@ -100,29 +101,81 @@ class StreamMindEngine:
         )[:, 0, :]
         return last, cache
 
-    def _decode_impl(self, first_token, cache, eos_id, max_new: int):
-        """Greedy decode loop with early EOS exit, fixed token buffer."""
+    def _decode_impl(self, first_token, cache, eos_id, max_new: int,
+                     temperature, rng_key):
+        """Decode loop with early EOS exit, fixed token buffer.
+
+        temperature <= 0 → greedy; else temperature sampling (the reference
+        uses do_sample with temperature 0.2, streammind/__init__.py:84-85).
+        """
         p, cfg = self.params, self.cfg
 
         def cond(carry):
-            i, tok, cache, buf, done = carry
+            i, tok, cache, buf, done, key = carry
             return jnp.logical_and(i < max_new, jnp.logical_not(done))
 
         def body(carry):
-            i, tok, cache, buf, done = carry
+            i, tok, cache, buf, done, key = carry
             buf = buf.at[i].set(tok)
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=tok[None, None], cache=cache
             )
-            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            nxt = jnp.where(
+                temperature > 0,
+                jax.random.categorical(sub, logits[0, -1] / jnp.maximum(temperature, 1e-6)),
+                jnp.argmax(logits[0, -1]),
+            ).astype(jnp.int32)
             done = nxt == eos_id
-            return (i + 1, nxt, cache, buf, done)
+            return (i + 1, nxt, cache, buf, done, key)
 
         buf = jnp.zeros((max_new,), jnp.int32)
-        i, _, cache, buf, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), first_token, cache, buf, jnp.bool_(False))
+        i, _, cache, buf, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), first_token, cache, buf, jnp.bool_(False), rng_key),
         )
         return buf, i, cache
+
+    def _decode_step_impl(self, tok, cache, temperature, rng_key):
+        """One decode step (for token-streaming callers like the HTTP
+        worker): feeds `tok`, returns the next token + updated cache."""
+        p, cfg = self.params, self.cfg
+        logits, cache = lm.text_forward(
+            p["text"], cfg.text, input_ids=tok[None, None], cache=cache
+        )
+        nxt = jnp.where(
+            temperature > 0,
+            jax.random.categorical(
+                rng_key, logits[0, -1] / jnp.maximum(temperature, 1e-6)
+            ),
+            jnp.argmax(logits[0, -1]),
+        ).astype(jnp.int32)
+        return nxt, cache
+
+    def decode_stream(
+        self, last_logits, cache, max_new_tokens: int = 256,
+        temperature: float = 0.0, rng_key=None,
+    ):
+        """Generator yielding (token_id, cache) one token at a time —
+        the streaming-worker analogue of TextIteratorStreamer
+        (reference serve/model_worker.py:271-300)."""
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        rng_key, k0 = jax.random.split(rng_key)
+        if temperature > 0:
+            tok = jax.random.categorical(
+                k0, last_logits[0].astype(jnp.float32) / max(temperature, 1e-6)
+            ).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(last_logits[0]).astype(jnp.int32)
+        for _ in range(max_new_tokens):
+            if int(tok) == self.eos_token_id:
+                return
+            yield int(tok), cache
+            rng_key, sub = jax.random.split(rng_key)
+            tok, cache = self._decode_step(
+                tok, cache, jnp.float32(temperature), sub
+            )
 
     def new_kv_cache(self, dtype=jnp.float32):
         return lm.init_kv_cache(self.cfg.text, batch=1, capacity=self.kv_capacity, dtype=dtype)
@@ -139,12 +192,31 @@ class StreamMindEngine:
         )
         return last, cache
 
-    def generate_from_prefill(self, last_logits, cache, max_new_tokens: int = 128):
-        """Greedy continuation after a prefill.  Returns (token_list, cache)."""
-        first = jnp.argmax(last_logits[0]).astype(jnp.int32)
+    def generate_from_prefill(
+        self,
+        last_logits,
+        cache,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        rng_key=None,
+    ):
+        """Continuation after a prefill (greedy, or sampled when
+        temperature > 0).  Returns (token_list, cache)."""
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        if temperature > 0:
+            key0, rng_key = jax.random.split(rng_key)
+            first = jax.random.categorical(
+                key0, last_logits[0].astype(jnp.float32) / max(temperature, 1e-6)
+            ).astype(jnp.int32)
+        else:
+            first = jnp.argmax(last_logits[0]).astype(jnp.int32)
         if bool(first == self.eos_token_id):
             return [], cache
-        buf, n, cache = self._decode(first, cache, jnp.int32(self.eos_token_id), max_new_tokens)
+        buf, n, cache = self._decode(
+            first, cache, jnp.int32(self.eos_token_id), max_new_tokens,
+            jnp.float32(temperature), rng_key,
+        )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
 
 

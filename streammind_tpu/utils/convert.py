@@ -1,0 +1,304 @@
+"""Checkpoint conversion: HF/torch state dicts → streammind-tpu param trees.
+
+Covers the reference's checkpoint zoo (model/builder.py:30-210):
+  - full SFT checkpoints (decoder + vision tower + mm_projector in one)
+  - base model + mm_projector.bin adapter (builder.py:110-142)
+  - LoRA: lora_A/B pairs merged into base weights + non_lora_trainables.bin
+    (builder.py:60-109)
+
+State dicts may come from torch .bin (torch.load) or .safetensors.  All
+conversion is name-mapping + reshape; no numerics change, so fp32 parity
+tests against transformers' own forward validate the model math.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import MambaConfig, StreamMindConfig, TextConfig, VisionConfig
+
+
+def _np(t):
+    """torch tensor / numpy → numpy fp32 (bf16 safe)."""
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        t = t.cpu().numpy()
+    return np.asarray(t)
+
+
+def load_state_dict(path: str) -> Dict[str, "np.ndarray"]:
+    """Load one or many checkpoint shards (bin/safetensors) into numpy."""
+    sd = {}
+    files = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith((".bin", ".safetensors")) and "arguments" not in f:
+                files.append(os.path.join(path, f))
+    else:
+        files = [path]
+    for f in files:
+        if f.endswith(".safetensors"):
+            from safetensors import safe_open
+
+            with safe_open(f, framework="np") as g:
+                for k in g.keys():
+                    sd[k] = g.get_tensor(k)
+        else:
+            import torch
+
+            raw = torch.load(f, map_location="cpu", weights_only=True)
+            sd.update({k: _np(v) for k, v in raw.items()})
+    return sd
+
+
+def _strip(sd: Dict, prefix: str) -> Dict:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (HF CLIPVisionModel naming)
+# ---------------------------------------------------------------------------
+def convert_clip_vision(sd: Dict, cfg: VisionConfig, dtype=jnp.float32) -> Dict:
+    pre = "vision_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    g = lambda k: jnp.asarray(sd[pre + k], dtype)
+
+    layers = {
+        "ln1": {"weight": [], "bias": []},
+        "q": {"weight": [], "bias": []},
+        "k": {"weight": [], "bias": []},
+        "v": {"weight": [], "bias": []},
+        "o": {"weight": [], "bias": []},
+        "ln2": {"weight": [], "bias": []},
+        "fc1": {"weight": [], "bias": []},
+        "fc2": {"weight": [], "bias": []},
+    }
+    name_map = {
+        "ln1": "layer_norm1",
+        "q": "self_attn.q_proj",
+        "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj",
+        "o": "self_attn.out_proj",
+        "ln2": "layer_norm2",
+        "fc1": "mlp.fc1",
+        "fc2": "mlp.fc2",
+    }
+    for i in range(cfg.num_layers):
+        for ours, theirs in name_map.items():
+            base = f"encoder.layers.{i}.{theirs}"
+            layers[ours]["weight"].append(g(base + ".weight"))
+            layers[ours]["bias"].append(g(base + ".bias"))
+    stacked = {
+        ours: {k: jnp.stack(v) for k, v in d.items()} for ours, d in layers.items()
+    }
+    patch = g("embeddings.patch_embedding.weight")  # (D, 3, P, P)
+    return {
+        "class_embedding": g("embeddings.class_embedding"),
+        "patch_embedding": patch.reshape(patch.shape[0], -1),
+        "position_embedding": g("embeddings.position_embedding.weight"),
+        "pre_layernorm": {
+            "weight": g("pre_layrnorm.weight"),
+            "bias": g("pre_layrnorm.bias"),
+        },
+        "layers": stacked,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mistral / Llama / Mixtral decoder (HF naming)
+# ---------------------------------------------------------------------------
+def convert_hf_text(sd: Dict, cfg: TextConfig, dtype=jnp.float32) -> Dict:
+    pre = "model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+    g = lambda k: jnp.asarray(sd[k], dtype)
+
+    def stack(fmt):
+        return jnp.stack([g(fmt.format(i=i)) for i in range(cfg.num_layers)])
+
+    layers = {
+        "input_norm": {"weight": stack(pre + "layers.{i}.input_layernorm.weight")},
+        "q": {"weight": stack(pre + "layers.{i}.self_attn.q_proj.weight")},
+        "k": {"weight": stack(pre + "layers.{i}.self_attn.k_proj.weight")},
+        "v": {"weight": stack(pre + "layers.{i}.self_attn.v_proj.weight")},
+        "o": {"weight": stack(pre + "layers.{i}.self_attn.o_proj.weight")},
+        "post_norm": {
+            "weight": stack(pre + "layers.{i}.post_attention_layernorm.weight")
+        },
+    }
+    if cfg.num_experts > 1:
+        layers["router"] = {
+            "weight": stack(pre + "layers.{i}.block_sparse_moe.gate.weight")
+        }
+        def estack(which):
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            g(
+                                pre
+                                + f"layers.{i}.block_sparse_moe.experts.{e}.w{which}.weight"
+                            )
+                            for e in range(cfg.num_experts)
+                        ]
+                    )
+                    for i in range(cfg.num_layers)
+                ]
+            )
+        # Mixtral: w1=gate, w3=up, w2=down
+        layers["experts"] = {
+            "gate": estack(1),
+            "up": estack(3),
+            "down": estack(2),
+        }
+    else:
+        layers["mlp"] = {
+            "gate": {"weight": stack(pre + "layers.{i}.mlp.gate_proj.weight")},
+            "up": {"weight": stack(pre + "layers.{i}.mlp.up_proj.weight")},
+            "down": {"weight": stack(pre + "layers.{i}.mlp.down_proj.weight")},
+        }
+
+    out = {
+        "embed_tokens": g(pre + "embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": {"weight": g(pre + "norm.weight")},
+    }
+    if not cfg.tie_word_embeddings:
+        out["lm_head"] = {"weight": g("lm_head.weight")}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mm_projector (Video_Mamba_seq torch module naming)
+# ---------------------------------------------------------------------------
+def convert_projector(sd: Dict, cfg: StreamMindConfig, dtype=jnp.float32) -> Dict:
+    """Keys per the reference module tree (builder.py:390-401):
+      pre_net.fc3.{weight,bias}
+      mamba_model.ssms.{i}.norm.{weight,bias}
+      mamba_model.ssms.{i}.mixer.{in_proj,conv1d,x_proj,dt_proj,out_proj,A_log,D}
+      mamba_model.norm_fn.{weight,bias}
+      post_net.fc3.{weight,bias}
+      cls_net.cls_model.(model.*|lm_head.*)  — HF Mistral naming
+    """
+    for candidate in ("model.mm_projector.", "mm_projector.", ""):
+        if any(k.startswith(candidate + "pre_net") for k in sd):
+            sd = _strip(sd, candidate) if candidate else sd
+            break
+    g = lambda k: jnp.asarray(sd[k], dtype)
+
+    blocks = []
+    for i in range(cfg.mamba.n_layers):
+        mx = f"mamba_model.ssms.{i}.mixer."
+        block = {
+            "norm": {
+                "weight": g(f"mamba_model.ssms.{i}.norm.weight"),
+                "bias": g(f"mamba_model.ssms.{i}.norm.bias"),
+            },
+            "in_proj": {"weight": g(mx + "in_proj.weight")},
+            "conv1d": {
+                "weight": jnp.squeeze(g(mx + "conv1d.weight"), 1),  # (D,1,W)→(D,W)
+            },
+            "x_proj": {"weight": g(mx + "x_proj.weight")},
+            "dt_proj": {
+                "weight": g(mx + "dt_proj.weight"),
+                "bias": g(mx + "dt_proj.bias"),
+            },
+            "A_log": jnp.asarray(sd[mx + "A_log"], jnp.float32),
+            "D": jnp.asarray(sd[mx + "D"], jnp.float32),
+            "out_proj": {"weight": g(mx + "out_proj.weight")},
+        }
+        if mx + "conv1d.bias" in sd:
+            block["conv1d"]["bias"] = g(mx + "conv1d.bias")
+        if mx + "in_proj.bias" in sd:
+            block["in_proj"]["bias"] = g(mx + "in_proj.bias")
+        if mx + "out_proj.bias" in sd:
+            block["out_proj"]["bias"] = g(mx + "out_proj.bias")
+        blocks.append(block)
+
+    out = {
+        "pre_net": {
+            "weight": g("pre_net.fc3.weight"),
+            "bias": g("pre_net.fc3.bias"),
+        },
+        "mamba": {
+            "blocks": blocks,
+            "final_norm": {
+                "weight": g("mamba_model.norm_fn.weight"),
+                "bias": g("mamba_model.norm_fn.bias"),
+            },
+        },
+        "post_net": {
+            "weight": g("post_net.fc3.weight"),
+            "bias": g("post_net.fc3.bias"),
+        },
+    }
+    cls_sd = _strip(sd, "cls_net.cls_model.")
+    if cls_sd:
+        out["cls_net"] = convert_hf_text(cls_sd, cfg.gate, dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LoRA merge
+# ---------------------------------------------------------------------------
+def merge_lora(sd: Dict, lora_sd: Dict, scaling: Optional[float] = None,
+               r: Optional[int] = None, alpha: Optional[float] = None) -> Dict:
+    """Merge peft-style lora_A/lora_B pairs into base weights:
+    W' = W + scaling * B @ A  (reference path: builder.py:96-104 via peft)."""
+    out = dict(sd)
+    pairs = {}
+    for k, v in lora_sd.items():
+        m = re.match(r"(?:base_model\.model\.)?(.+)\.lora_(A|B)(?:\.default)?\.weight", k)
+        if not m:
+            continue
+        base, which = m.groups()
+        pairs.setdefault(base, {})[which] = np.asarray(v, np.float32)
+    for base, ab in pairs.items():
+        if "A" not in ab or "B" not in ab:
+            continue
+        A, B = ab["A"], ab["B"]
+        s = scaling if scaling is not None else (alpha / (r or A.shape[0]) if alpha else 1.0)
+        key = base + ".weight"
+        if key in out:
+            out[key] = np.asarray(out[key], np.float32) + s * (B @ A)
+    return out
+
+
+def convert_streammind_checkpoint(
+    model_path: str,
+    cfg: StreamMindConfig,
+    dtype=jnp.float32,
+    vision_path: Optional[str] = None,
+) -> Dict:
+    """Assemble a full param tree from a checkpoint directory.
+
+    Full-SFT layout: one state dict holding model.* (decoder),
+    model.mm_projector.*, and optionally model.vision_tower.*; vision can
+    also come from a separate CLIP checkpoint dir (vision_path).
+    """
+    sd = load_state_dict(model_path)
+    params = {}
+    text_sd = {
+        k: v
+        for k, v in sd.items()
+        if (k.startswith("model.") and not k.startswith(("model.mm_projector", "model.vision_tower")))
+        or k.startswith("lm_head")
+    }
+    if text_sd:
+        params["text"] = convert_hf_text(text_sd, cfg.text, dtype)
+    if any(k.startswith("model.mm_projector") or k.startswith("pre_net") for k in sd):
+        params["projector"] = convert_projector(sd, cfg, dtype)
+    vision_sd = _strip(sd, "model.vision_tower.vision_tower.")
+    if vision_sd:
+        params["vision"] = convert_clip_vision(vision_sd, cfg.vision, dtype)
+    elif vision_path:
+        params["vision"] = convert_clip_vision(load_state_dict(vision_path), cfg.vision, dtype)
+    return params

@@ -1,0 +1,55 @@
+"""Public API tests: model_init + infer/x_infer end-to-end on tiny config."""
+import jax
+import numpy as np
+import pytest
+
+import streammind_tpu
+from sp_like_tokenizer import SPLikeTokenizer
+from streammind_tpu.config import tiny_streammind_config
+
+
+@pytest.fixture(scope="module")
+def model_and_tok():
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, processor, tokenizer, version = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jax.numpy.float32
+    )
+    return model, tokenizer, version
+
+
+def test_model_init_shape(model_and_tok):
+    model, tok, version = model_and_tok
+    assert version == "llama_2"
+    assert set(model.params) == {"vision", "projector", "text"}
+
+
+def test_infer_offline_qa(model_and_tok, rng):
+    model, tok, version = model_and_tok
+    size = model.cfg.vision.image_size
+    video = rng.standard_normal((4, 3, size, size)).astype(np.float32)
+    out = streammind_tpu.infer(
+        model, video, "What is happening?", tok, version=version, max_new_tokens=6
+    )
+    assert isinstance(out, str)
+
+
+def test_x_infer_modes(model_and_tok, rng):
+    model, tok, version = model_and_tok
+    size = model.cfg.vision.image_size
+    video = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+    for mode in ("mcqa", "openend", "vanilla"):
+        out = streammind_tpu.x_infer(video, "Which option?", model, tok, mode=mode)
+        assert isinstance(out, str)
+    with pytest.raises(ValueError):
+        streammind_tpu.x_infer(video, "q", model, tok, mode="bogus")
+
+
+def test_sampled_decode_differs_or_runs(model_and_tok, rng):
+    model, tok, version = model_and_tok
+    size = model.cfg.vision.image_size
+    video = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+    out = streammind_tpu.infer(
+        model, video, "Describe.", tok, do_sample=True, max_new_tokens=6, seed=1
+    )
+    assert isinstance(out, str)

@@ -1,0 +1,74 @@
+"""Checkpoint round-trips: tree save/load, rotation/resume, and the
+mm_projector.bin torch-interop loop (export → convert back → identical)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streammind_tpu.config import tiny_streammind_config
+from streammind_tpu.models.meta import init_streammind_params
+from streammind_tpu.utils.checkpoint import (
+    export_projector_torch_sd,
+    latest_checkpoint,
+    load_checkpoint,
+    load_tree,
+    save_checkpoint,
+    save_tree,
+    sorted_checkpoints,
+)
+from streammind_tpu.utils.convert import convert_projector
+
+
+def _tree_equal(a, b):
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tree_roundtrip(tmp_path):
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "blocks": [{"w": jnp.ones((2,))}, {"w": jnp.zeros((2,))}],
+        "n": {"scale": jnp.asarray(2.5)},
+    }
+    save_tree(str(tmp_path), tree)
+    loaded = load_tree(str(tmp_path))
+    assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == 2
+    _tree_equal(tree, loaded)
+
+
+def test_checkpoint_rotation_and_resume(tmp_path):
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    root = str(tmp_path / "ckpts")
+    for step in (10, 20, 30, 40):
+        save_checkpoint(root, step, params, keep=2)
+    assert sorted_checkpoints(root) == [30, 40]
+    latest = latest_checkpoint(root)
+    assert latest.endswith("checkpoint-40")
+    loaded, opt, meta = load_checkpoint(latest)
+    assert meta["step"] == 40
+    _tree_equal(params["projector"]["pre_net"], loaded["projector"]["pre_net"])
+
+
+def test_adapter_only_checkpoint(tmp_path):
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(1), cfg)
+    path = save_checkpoint(str(tmp_path), 5, params, adapter_only=True)
+    loaded, _, meta = load_checkpoint(path)
+    assert meta["adapter_only"]
+    assert set(loaded) == {"projector"}
+
+
+def test_mm_projector_torch_interop(tmp_path):
+    """export → reference key naming → convert back → byte-identical."""
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(2), cfg)
+    sd = export_projector_torch_sd(params["projector"])
+    assert "pre_net.fc3.weight" in sd
+    assert "mamba_model.ssms.0.mixer.A_log" in sd
+    assert "cls_net.cls_model.model.layers.0.self_attn.q_proj.weight" in sd
+    back = convert_projector(sd, cfg)
+    _tree_equal(params["projector"], back)

@@ -128,6 +128,22 @@ def test_causal_conv1d_matches_torch(rng):
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
 
 
+def test_causal_conv1d_short_sequence(rng):
+    """seqlen < conv width must still match the streaming taps (regression:
+    pad-then-slice bug produced wrong lengths for L < W)."""
+    x = jnp.asarray(rng.standard_normal((1, D, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, 4)), jnp.float32)
+    full = causal_conv1d(x, w, None)
+    state = jnp.zeros((1, D, 4), jnp.float32)
+    ys = []
+    for t in range(2):
+        y, state = causal_conv1d_update(x[..., t], state, w, None)
+        ys.append(y)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(ys, -1)), np.asarray(full), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_causal_conv1d_update_streams(rng):
     x = jnp.asarray(rng.standard_normal((B, D, L)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((D, 4)), jnp.float32)

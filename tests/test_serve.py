@@ -1,0 +1,113 @@
+"""Serving-plane tests: controller registry/dispatch/expiry and an
+end-to-end controller→worker streamed generation over real HTTP sockets."""
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+import streammind_tpu
+from sp_like_tokenizer import SPLikeTokenizer
+from streammind_tpu.config import tiny_streammind_config
+from streammind_tpu.serve.controller import Controller, http_post_json, serve
+from streammind_tpu.serve.model_worker import ModelWorker, serve_worker
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_controller_registry_and_dispatch():
+    c = Controller("shortest_queue")
+    c.worker_info.clear()
+    ok = c.register_worker(
+        "http://w1", False, {"model_names": ["m"], "speed": 1, "queue_length": 0}
+    )
+    assert ok
+    c.register_worker(
+        "http://w2", False, {"model_names": ["m"], "speed": 1, "queue_length": 5}
+    )
+    assert c.list_models() == ["m"]
+    # shortest queue picks w1
+    assert c.get_worker_address("m") == "http://w1"
+    assert c.get_worker_address("missing") == ""
+    # heartbeat for unknown worker demands re-register
+    assert not c.receive_heart_beat("http://w3", 0)
+    assert c.receive_heart_beat("http://w1", 2)
+    c.remove_worker("http://w1")
+    assert c.get_worker_address("m") == "http://w2"
+
+
+@pytest.mark.slow
+def test_http_end_to_end_stream(rng):
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jax.numpy.float32
+    )
+
+    cport, wport = _free_port(), _free_port()
+    ctrl_server = serve("127.0.0.1", cport)
+    t1 = threading.Thread(target=ctrl_server.serve_forever, daemon=True)
+    t1.start()
+
+    worker = ModelWorker(
+        controller_addr=f"http://127.0.0.1:{cport}",
+        worker_addr=f"http://127.0.0.1:{wport}",
+        model_path="",
+        model_name="tiny",
+        model=model,
+        tokenizer=tok,
+    )
+    wserver = serve_worker(worker, "127.0.0.1", wport)
+    t2 = threading.Thread(target=wserver.serve_forever, daemon=True)
+    t2.start()
+    time.sleep(0.2)
+
+    # registered?
+    models = http_post_json(f"http://127.0.0.1:{cport}/list_models", {})["models"]
+    assert models == ["tiny"]
+
+    # stream a generation through the controller relay
+    video = rng.standard_normal((2, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    payload = {
+        "model": "tiny",
+        "prompt": "[INST] <video>\n describe [/INST]",
+        "video": video.tolist(),
+        "max_new_tokens": 4,
+        "temperature": 0.0,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{cport}/worker_generate_stream",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        buf = b""
+        while True:
+            b1 = resp.read(1)
+            if not b1:
+                break
+            if b1 == b"\0":
+                chunks.append(json.loads(buf.decode()))
+                buf = b""
+            else:
+                buf += b1
+    assert chunks, "no streamed chunks received"
+    assert all(c["error_code"] == 0 for c in chunks)
+    # text grows monotonically (token streaming)
+    lengths = [len(c["text"]) for c in chunks]
+    assert lengths == sorted(lengths)
+
+    ctrl_server.shutdown()
+    wserver.shutdown()
