@@ -55,6 +55,21 @@ def init_projector_params(key, cfg: StreamMindConfig, dtype=jnp.float32):
         return {"mlp": layers}
     if t == "identity":
         return {}
+    if t in ("stc_connector", "stp_connector", "stc_connector_v35"):
+        from . import connectors
+
+        k1, k2 = jax.random.split(key)
+        variant = {"stc_connector": "stc", "stp_connector": "stp",
+                   "stc_connector_v35": "stc_v35"}[t]
+        p = connectors.init_stc_connector(k1, cfg, variant=variant, dtype=dtype)
+        p["cls_net"] = lm.init_text_params(k2, cfg.gate, dtype)
+        return p
+    if t == "spatial_conv":
+        from . import connectors
+
+        return connectors.init_spatial_conv(key, cfg, dtype=dtype)
+    if t == "spatial_pool":
+        return {"proj": torch_linear_init(key, d_out, d_in, dtype=dtype)}
     raise ValueError(f"Unknown projector type: {t}")
 
 
@@ -101,6 +116,20 @@ def simple_project(params, cfg: StreamMindConfig, frames_features: jax.Array) ->
     features (reference temporal_aggregator mean-pool branch,
     videollama2_arch.py:295-298)."""
     t = cfg.mm_projector_type
+    if t in ("stc_connector", "stp_connector", "stc_connector_v35"):
+        from . import connectors
+
+        variant = {"stc_connector": "stc", "stp_connector": "stp",
+                   "stc_connector_v35": "stc_v35"}[t]
+        return connectors.stc_forward(frames_features, params, variant=variant)
+    if t == "spatial_conv":
+        from . import connectors
+
+        return connectors.spatial_conv_forward(frames_features, params)
+    if t == "spatial_pool":
+        from . import connectors
+
+        return connectors.spatial_pool_forward(frames_features, params["proj"])
     video_features = jnp.mean(frames_features, axis=1)  # (B, N, H) mean over time
     if t == "identity":
         return video_features

@@ -1,0 +1,79 @@
+"""LoRA fine-tuning as a parameterization over the base tree.
+
+Replaces the reference's peft integration (train_new_stream.py:813-829,
+lora_enable path) with a functional formulation: a mirror tree of {A, B}
+pairs for every attention/MLP projection in the decoder, merged on the fly
+inside the loss (W_eff = W + alpha/r * B @ A); only the LoRA leaves train.
+Merging for export reuses the same math.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# decoder projections peft targets by default for Mistral-family models
+_TARGETS = ("q", "k", "v", "o")
+_MLP_TARGETS = ("gate", "up", "down")
+
+
+def init_lora_params(key, text_params, r: int = 128, dtype=jnp.float32) -> Dict:
+    """LoRA trees for stacked decoder layers.  A ~ N(0, 0.02), B = 0 (so the
+    initial delta is zero, matching peft)."""
+    lora = {"layers": {}}
+    layers = text_params["layers"]
+    keys = jax.random.split(key, len(_TARGETS) + len(_MLP_TARGETS))
+    ki = 0
+    for name in _TARGETS:
+        w = layers[name]["weight"]  # (L, out, in)
+        L, out_f, in_f = w.shape
+        lora["layers"][name] = {
+            "A": jax.random.normal(keys[ki], (L, r, in_f), dtype) * 0.02,
+            "B": jnp.zeros((L, out_f, r), dtype),
+        }
+        ki += 1
+    if "mlp" in layers:
+        lora["layers"]["mlp"] = {}
+        for name in _MLP_TARGETS:
+            w = layers["mlp"][name]["weight"]
+            L, out_f, in_f = w.shape
+            lora["layers"]["mlp"][name] = {
+                "A": jax.random.normal(keys[ki], (L, r, in_f), dtype) * 0.02,
+                "B": jnp.zeros((L, out_f, r), dtype),
+            }
+            ki += 1
+    return lora
+
+
+def apply_lora(text_params, lora, scaling: float):
+    """Return a new text-param tree with W + scaling * B @ A merged in.
+    Runs inside jit — XLA fuses the small matmuls into the update."""
+    out = dict(text_params)
+    layers = dict(text_params["layers"])
+    for name, ab in lora["layers"].items():
+        if name == "mlp":
+            mlp = dict(layers["mlp"])
+            for mname, mab in ab.items():
+                w = mlp[mname]["weight"]
+                delta = jnp.einsum("lor,lri->loi", mab["B"].astype(w.dtype),
+                                   mab["A"].astype(w.dtype))
+                mlp[mname] = {**mlp[mname], "weight": w + scaling * delta}
+            layers["mlp"] = mlp
+        else:
+            w = layers[name]["weight"]
+            delta = jnp.einsum("lor,lri->loi", ab["B"].astype(w.dtype),
+                               ab["A"].astype(w.dtype))
+            layers[name] = {**layers[name], "weight": w + scaling * delta}
+    out["layers"] = layers
+    return out
+
+
+def merge_lora_into_params(params, lora, r: int, alpha: float):
+    """Permanent merge for export (reference merge_and_unload,
+    model/builder.py:105-108)."""
+    scaling = alpha / r
+    out = dict(params)
+    out["text"] = apply_lora(params["text"], lora, scaling)
+    return out

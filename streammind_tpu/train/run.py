@@ -1,0 +1,257 @@
+"""train() entry point — the reference's train_new_stream.train
+(/root/reference/streammind/train_new_stream.py:683-1060) as one sharded
+JAX training loop.
+
+Stage control (reference :879-900 + scripts/custom/finetune_stage{1,2}.sh):
+  --score-dataset-train-llm  → stage 1: decoder + projector (lr 2e-5)
+  --score-dataset-train-cls  → stage 2: gate only (lr 2e-6)
+  --tune-mm-mlp-adapter      → adapter pretrain: projector only
+  --train-skip-cls           → initialize the gate LM from the first
+                               gate-depth decoder layers (:655-681, :1039-1043)
+
+Checkpoints: checkpoint-{step} dirs with auto-resume from the latest
+(reference :1035-1037); stage-2/adapter runs save adapter-only trees.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StreamMindConfig
+from ..constants import VIDEO_TOKEN_INDEX
+from ..models.meta import build_splice_plan, bucket_length, init_streammind_params
+from ..models.vit import vit_forward
+from ..parallel import make_mesh, shard_params
+from ..utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ..utils.logging import MetricLogger, build_logger
+from .args import DataArguments, ModelArguments, TrainingArguments, parse_args
+from .objectives import stage1_llm_loss, stage2_gate_loss
+from .trainer import (
+    cosine_schedule,
+    count_trainable,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+
+logger = build_logger("train", "train.log")
+
+PLAN_BUCKETS = (128, 256, 512, 1024, 2048)
+FRAME_BUCKETS = (8, 16, 32, 64, 128, 256, 600)
+
+
+def copy_decoder_layers_into_gate(params, cfg: StreamMindConfig):
+    """train_skip_cls: gate layers i ← decoder layers i (weights whose shapes
+    line up; the 2-vocab embed/lm_head stay as initialized)."""
+    gate = params["projector"]["cls_net"]["layers"]
+    text = params["text"]["layers"]
+    n = params["projector"]["cls_net"]["layers"]["q"]["weight"].shape[0]
+
+    def take(src, dst):
+        # jnp.copy: a full-extent slice would alias the source buffer and
+        # break donation (same array donated twice in the train step)
+        return jax.tree.map(lambda s, d: jnp.copy(s[:n]).astype(d.dtype), src, dst)
+
+    for name in ("q", "k", "v", "o", "input_norm", "post_norm"):
+        gate[name] = take(text[name], gate[name])
+    gate["mlp"] = take(text["mlp"], gate["mlp"])
+    params["projector"]["cls_net"]["layers"] = gate
+    logger.info("complete aligning cls_weight (decoder → gate)")
+    return params
+
+
+def _stage_of(model_args: ModelArguments, data_args: DataArguments) -> str:
+    if data_args.score_dataset_train_cls:
+        return "cls"
+    if model_args.tune_mm_mlp_adapter:
+        return "adapter"
+    return "llm"
+
+
+def _encode_frames_frozen(params, cfg, pixels):
+    """Frozen ViT feature extraction (no grad; outside the loss)."""
+    feats = vit_forward(params["vision"], cfg.vision, pixels)
+    return feats[None]
+
+
+def make_batch_from_sample(sample, cfg, vision_params, stage: str):
+    """Host-side: sample dict → device batch with a bucketed splice plan."""
+    video = np.asarray(sample["video"], np.float32)
+    t = video.shape[0]
+    t_bucket = bucket_length(min(t, FRAME_BUCKETS[-1]), FRAME_BUCKETS)
+    if t > t_bucket:
+        video = video[-t_bucket:]
+        t = t_bucket
+
+    pixels = jnp.asarray(video)
+    feats = _encode_frames_frozen({"vision": vision_params}, cfg, pixels)
+    # pad frames (features) to the bucket so the train step stays shape-stable
+    if t < t_bucket:
+        feats = jnp.pad(feats, ((0, 0), (0, t_bucket - t), (0, 0), (0, 0)))
+
+    if stage == "cls":
+        gate_labels = np.zeros((1, t_bucket), np.int64)
+        gate_labels[0, t - 1] = 0 if sample["caption_info"] == "</s>" else 1
+        mask = np.zeros((1, t_bucket), bool)
+        mask[0, :t] = True
+        return {
+            "frames": feats,
+            "labels": jnp.asarray(gate_labels),
+            "mask": jnp.asarray(mask),
+        }
+
+    ids = list(np.asarray(sample["input_ids"])[0])
+    labels = list(np.asarray(sample["labels"])[0])
+    n_spliced = len(ids) - 1 + t
+    bucket = bucket_length(n_spliced, PLAN_BUCKETS)
+    plan = build_splice_plan(ids, [t], VIDEO_TOKEN_INDEX, bucket, labels=labels)
+    return {
+        "frames": feats,
+        "token_ids": jnp.asarray(plan.token_ids)[None],
+        "mem_index": jnp.asarray(plan.mem_index)[None],
+        "use_mem": jnp.asarray(plan.use_mem)[None],
+        "attn_mask": jnp.asarray(plan.attn_mask)[None],
+        "labels": jnp.asarray(plan.labels)[None],
+    }
+
+
+def train(model_args=None, data_args=None, training_args=None, dataset=None,
+          cfg: Optional[StreamMindConfig] = None, max_steps_override=None):
+    if model_args is None:
+        model_args, data_args, training_args = parse_args()
+    stage = _stage_of(model_args, data_args)
+    logger.info(f"training stage: {stage}")
+
+    # -- model -------------------------------------------------------------
+    if cfg is None:
+        cfg = StreamMindConfig(mm_projector_type=model_args.mm_projector_type)
+    dtype = jnp.bfloat16 if training_args.bf16 else jnp.float32
+    if model_args.model_path and os.path.isdir(model_args.model_path):
+        from ..utils.convert import convert_streammind_checkpoint
+
+        params = convert_streammind_checkpoint(
+            model_args.model_path, cfg, dtype, vision_path=model_args.vision_tower
+        )
+        missing = {"vision", "projector", "text"} - set(params)
+        if missing:
+            init = init_streammind_params(
+                jax.random.PRNGKey(training_args.seed), cfg, dtype
+            )
+            params.update({k: init[k] for k in missing})
+    else:
+        params = init_streammind_params(
+            jax.random.PRNGKey(training_args.seed), cfg, dtype
+        )
+    if model_args.train_skip_cls:
+        params = copy_decoder_layers_into_gate(params, cfg)
+
+    # -- data ----------------------------------------------------------------
+    if dataset is None:
+        if data_args.dataset == "matchtime":
+            from ..data import MatchTimeDataset
+
+            try:
+                import transformers
+
+                tokenizer = transformers.AutoTokenizer.from_pretrained(
+                    model_args.model_path
+                )
+            except Exception as e:  # noqa: BLE001
+                raise RuntimeError(
+                    "need a tokenizer; pass dataset= for tests"
+                ) from e
+            dataset = MatchTimeDataset(
+                data_args.data_path, tokenizer, cur_fps=data_args.cur_fps,
+                seed=training_args.seed,
+            )
+        else:
+            raise ValueError(f"unknown dataset {data_args.dataset}")
+
+    total_steps = (
+        max_steps_override
+        or (training_args.max_steps if training_args.max_steps > 0 else len(dataset))
+    )
+
+    # -- optimizer + sharding -----------------------------------------------
+    mask = trainable_mask(params, stage)
+    logger.info(
+        f"trainable params: {count_trainable(params, mask)/1e6:.1f}M"
+    )
+    schedule = cosine_schedule(
+        training_args.learning_rate, total_steps, training_args.warmup_ratio
+    )
+    optimizer = make_optimizer(
+        schedule, mask,
+        projector_lr=training_args.mm_projector_lr,
+        weight_decay=training_args.weight_decay,
+        grad_clip=training_args.grad_clip,
+    )
+
+    mesh = make_mesh(training_args.dp, training_args.fsdp, training_args.tp)
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        state = init_train_state(params, optimizer)
+
+        # resume
+        start_step = 0
+        if training_args.resume:
+            latest = latest_checkpoint(training_args.output_dir)
+            if latest:
+                loaded, opt_state, meta = load_checkpoint(latest)
+                if not meta.get("adapter_only"):
+                    state = state._replace(
+                        params=shard_params(loaded, mesh),
+                        step=jnp.int32(meta["step"]),
+                    )
+                    start_step = meta["step"]
+                    logger.info(f"resumed from {latest}")
+
+        if stage == "cls":
+            def loss_fn(p, b):
+                return stage2_gate_loss(p, cfg, b["frames"], b["labels"], b["mask"])
+        else:
+            def loss_fn(p, b):
+                return stage1_llm_loss(
+                    p, cfg, b["frames"], b["token_ids"], b["mem_index"],
+                    b["use_mem"], b["attn_mask"], b["labels"],
+                )
+
+        step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
+
+        metrics_log = MetricLogger()
+        t0 = time.time()
+        for step in range(start_step, total_steps):
+            sample = dataset[step % len(dataset)]
+            batch = make_batch_from_sample(
+                sample, cfg, state.params["vision"], stage
+            )
+            state, metrics = step_fn(state, batch)
+            metrics_log.update(loss=float(metrics["loss"]),
+                               grad_norm=float(metrics["grad_norm"]))
+            if (step + 1) % training_args.logging_steps == 0:
+                logger.info(
+                    f"step {step+1}/{total_steps} {metrics_log} "
+                    f"({(time.time()-t0)/(step-start_step+1):.2f}s/it)"
+                )
+            if (step + 1) % training_args.save_steps == 0 or step + 1 == total_steps:
+                save_checkpoint(
+                    training_args.output_dir, step + 1,
+                    jax.tree.map(np.asarray, state.params),
+                    adapter_only=(stage in ("cls", "adapter")),
+                    keep=training_args.save_total_limit,
+                )
+    return state
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,102 @@
+"""Eval-runner tests: gate-stream driver with synthetic frames, Ego4D
+llm/cls sample evaluators, MCQA scorer, GPT-judge pipeline with fake judge."""
+import json
+
+import numpy as np
+import pytest
+
+from streammind_tpu.constants import IGNORE_INDEX
+from streammind_tpu.eval.gpt_judge import (
+    build_judge_messages,
+    judge_predictions,
+    parse_judge_response,
+)
+from streammind_tpu.eval.run_ego4d_stream import (
+    eval_cls_sample,
+    eval_llm_sample,
+    score_caption_csv,
+    write_caption_csv,
+)
+from streammind_tpu.eval.run_mcqa import format_mcqa_question, score_answers
+
+
+class MiniTok:
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{i}" for i in ids)
+
+
+def test_eval_llm_sample_turns(rng):
+    V = 16
+    # two turns: tokens [5,6,2] and [7,2]; prompt positions ignored
+    labels = np.array([IGNORE_INDEX, 5, 6, 2, IGNORE_INDEX, 7, 2])
+    logits = rng.standard_normal((7, V)).astype(np.float32)
+    # make predictions perfect for turn 2
+    logits[4, :] = 0; logits[4, 7] = 10.0
+    logits[5, :] = 0; logits[5, 2] = 10.0
+    out = eval_llm_sample(logits, labels, MiniTok())
+    assert out["lm_ppl"] > 0
+    assert 0 <= out["lm_correctness"] <= 1
+    assert len(out["rows"]) == 2
+    # second turn predicted exactly
+    assert out["rows"][1][0] == "t7 t2"
+
+
+def test_eval_cls_sample():
+    labels = np.array([0, 0, 1, 0, 1])
+    logits = np.zeros((5, 2)); logits[:, 0] = 1
+    logits[2, 1] = 5  # correct fire
+    out = eval_cls_sample(logits, labels, tolerance_frames=0)
+    assert out["accuracy"] == pytest.approx(4 / 5)
+    assert out["time_diff"] == 0.5  # one wrong frame / 2
+
+
+def test_caption_csv_roundtrip(tmp_path):
+    path = str(tmp_path / "cap.csv")
+    write_caption_csv(path, [("a goal", "a goal"), ("bad pred", "the truth")])
+    scores = score_caption_csv(path)
+    assert 0 < float(scores["BLEU-1"]) <= 100
+
+
+def test_mcqa_format_and_score(tmp_path):
+    q = format_mcqa_question("What?", ["apple", "B. banana"])
+    assert "A. apple" in q and "B. banana" in q
+    path = tmp_path / "ans.jsonl"
+    rows = [
+        {"pred": "A", "gt": "A", "task_type": "x"},
+        {"pred": "B", "gt": "C", "task_type": "x"},
+        {"pred": "C", "gt": "C", "task_type": "y"},
+    ]
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    out = score_answers(str(path))
+    assert out["accuracy"] == pytest.approx(100 * 2 / 3)
+    assert out["by_task"]["y"] == 100.0
+
+
+def test_gpt_judge_pipeline(tmp_path):
+    msgs = build_judge_messages("q?", "truth", "guess", "correctness")
+    assert msgs[0]["role"] == "system" and "factual" in msgs[0]["content"]
+
+    assert parse_judge_response("{'pred': 'yes', 'score': 4}") == {
+        "pred": "yes", "score": 4.0,
+    }
+    assert parse_judge_response("noise {'pred': 'no', 'score': 1} trailing")["score"] == 1.0
+
+    calls = {"n": 0}
+
+    def fake_judge(messages, model=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return "garbage"  # force one retry
+        return "{'pred': 'yes', 'score': 5}"
+
+    preds = [
+        {"id": "a", "question": "q", "answer": "x", "pred": "x"},
+        {"id": "b", "question": "q", "answer": "y", "pred": "z"},
+    ]
+    out = judge_predictions(preds, str(tmp_path / "judge"), judge_fn=fake_judge,
+                            retry_sleep=0)
+    assert out["n"] == 2 and out["accuracy"] == 1.0 and out["mean_score"] == 5.0
+    # cache hit on rerun: judge_fn not called again
+    before = calls["n"]
+    out2 = judge_predictions(preds, str(tmp_path / "judge"), judge_fn=fake_judge)
+    assert calls["n"] == before and out2 == out

@@ -149,3 +149,20 @@ def test_simple_projectors(rng):
     params2 = proj.init_projector_params(jax.random.PRNGKey(8), cfg2)
     out2 = proj.simple_project(params2, cfg2, frames)
     assert out2.shape == (2, 16, cfg.text.hidden_size)
+
+
+@pytest.mark.parametrize(
+    "ptype", ["stc_connector", "stp_connector", "stc_connector_v35", "spatial_conv", "spatial_pool"]
+)
+def test_connector_projectors(rng, ptype):
+    cfg = tiny_streammind_config().replace(mm_projector_type=ptype)
+    params = proj.init_projector_params(jax.random.PRNGKey(9), cfg)
+    # 4 frames of 4x4=16 patches
+    frames = jnp.asarray(rng.standard_normal((1, 4, 16, cfg.mm_hidden_size)), jnp.float32)
+    out = proj.simple_project(params, cfg, frames)
+    assert out.ndim == 3 and out.shape[0] == 1
+    assert out.shape[-1] == cfg.text.hidden_size
+    assert np.isfinite(np.asarray(out)).all()
+    if ptype.startswith("st"):
+        # temporal 2x downsample: token count reflects t/2 (stc pads +1)
+        assert out.shape[1] > 0

@@ -1,0 +1,113 @@
+"""End-to-end train() smoke: tiny model + fake dataset, both stages, with
+checkpointing + resume and the skip-cls weight copy."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_like_tokenizer import SPLikeTokenizer
+from streammind_tpu.config import tiny_streammind_config
+from streammind_tpu.data.preprocess import build_score_sample
+from streammind_tpu.models.meta import init_streammind_params
+from streammind_tpu.train.args import DataArguments, ModelArguments, TrainingArguments
+from streammind_tpu.train.run import copy_decoder_layers_into_gate, train
+from streammind_tpu.train.lora import apply_lora, init_lora_params, merge_lora_into_params
+from streammind_tpu.models import mistral as lm
+from streammind_tpu.utils.checkpoint import sorted_checkpoints
+
+
+class FakeScoreDataset:
+    """MatchTime-shaped samples with random pixels."""
+
+    def __init__(self, tok, cfg, n=4):
+        self.samples = []
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            caption = "</s>" if i % 2 else "a goal is scored"
+            s = build_score_sample(caption, f"v{i}.mkv", 1, 100 + i, tok)
+            t = 3 + i
+            s["video"] = rng.standard_normal(
+                (t, 3, cfg.vision.image_size, cfg.vision.image_size)
+            ).astype(np.float32)
+            self.samples.append(s)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i % len(self.samples)]
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_streammind_config()
+
+
+def _args(tmp, stage):
+    ma = ModelArguments(train_skip_cls=(stage == "llm"))
+    da = DataArguments(
+        score_dataset_train_llm=(stage == "llm"),
+        score_dataset_train_cls=(stage == "cls"),
+    )
+    ta = TrainingArguments(
+        output_dir=str(tmp), learning_rate=1e-3, bf16=False,
+        save_steps=2, logging_steps=1, max_steps=4, resume=True,
+    )
+    return ma, da, ta
+
+
+@pytest.mark.slow
+def test_train_stage1_and_resume(tmp_path, cfg):
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma, da, ta = _args(tmp_path, "llm")
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 4
+    assert sorted_checkpoints(str(tmp_path)) == [2, 4]
+
+    # resume: second run starts at 4 and should no-op (max_steps reached)
+    state2 = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state2.step) == 4
+
+
+@pytest.mark.slow
+def test_train_stage2_adapter_only_ckpt(tmp_path, cfg):
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma, da, ta = _args(tmp_path, "cls")
+    train(ma, da, ta, dataset=ds, cfg=cfg)
+    latest = os.path.join(str(tmp_path), "checkpoint-4")
+    with open(os.path.join(latest, "meta.json")) as f:
+        assert json.load(f)["adapter_only"]
+
+
+def test_skip_cls_copy(cfg):
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    before = np.asarray(params["projector"]["cls_net"]["layers"]["q"]["weight"]).copy()
+    params = copy_decoder_layers_into_gate(params, cfg)
+    gate_q = np.asarray(params["projector"]["cls_net"]["layers"]["q"]["weight"])
+    text_q = np.asarray(params["text"]["layers"]["q"]["weight"])
+    n = gate_q.shape[0]
+    np.testing.assert_array_equal(gate_q, text_q[:n])
+    assert not np.array_equal(gate_q, before)
+
+
+def test_lora_init_and_merge(cfg, rng):
+    params = init_streammind_params(jax.random.PRNGKey(1), cfg)
+    lora = init_lora_params(jax.random.PRNGKey(2), params["text"], r=4)
+    # B=0 → initial delta zero: forward unchanged
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (1, 6)))
+    base_logits, _ = lm.text_forward(params["text"], cfg.text, input_ids=ids)
+    lora_params = apply_lora(params["text"], lora, scaling=2.0)
+    lora_logits, _ = lm.text_forward(lora_params, cfg.text, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(base_logits), np.asarray(lora_logits), rtol=1e-6
+    )
+    # nonzero B changes the output; merge == apply
+    lora["layers"]["q"]["B"] = jnp.ones_like(lora["layers"]["q"]["B"]) * 0.01
+    merged = merge_lora_into_params(params, lora, r=4, alpha=8)
+    merged_logits, _ = lm.text_forward(merged["text"], cfg.text, input_ids=ids)
+    assert not np.allclose(np.asarray(base_logits), np.asarray(merged_logits))
