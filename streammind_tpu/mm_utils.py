@@ -205,7 +205,24 @@ def process_video(
     sample_scheme: str = "uniform",
     aspect_ratio: str = "pad",
 ) -> np.ndarray:
-    """Video file/array → (T, 3, 336, 336) float32 pixel values."""
+    """Video file/array → (T, 3, 336, 336) float32 pixel values.
+
+    File inputs prefer the native C++ ingest (decode + letterbox + normalize
+    in one pass, streammind_tpu/native.py); arrays and unsupported containers
+    fall back to the Python path below.
+    """
+    if isinstance(video_path, str) and not video_path.endswith(".gif"):
+        try:
+            from . import native
+
+            if native.available():
+                return native.native_process_video(
+                    video_path, num_frames=num_frames,
+                    sample_scheme=sample_scheme,
+                    pad_square=(aspect_ratio == "pad"),
+                )
+        except Exception:  # noqa: BLE001 — fall back to the Python reader
+            pass
     if isinstance(video_path, str):
         duration, local_fps = video_metadata(video_path)
         ids = frame_sample(duration, sample_scheme, num_frames, local_fps)
