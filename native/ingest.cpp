@@ -96,6 +96,12 @@ void* sm_open(const char* path) {
   if (r->nframes <= 0 && st->duration > 0) {
     r->nframes = static_cast<int64_t>(st->duration * av_q2d(st->time_base) * r->fps);
   }
+  if (r->nframes <= 0 && r->fmt->duration > 0) {
+    // matroska streams often lack both nb_frames and stream duration;
+    // fall back to the container duration (AV_TIME_BASE units)
+    r->nframes = static_cast<int64_t>(
+        static_cast<double>(r->fmt->duration) / AV_TIME_BASE * r->fps);
+  }
   return r;
 }
 

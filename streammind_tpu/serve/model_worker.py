@@ -162,6 +162,8 @@ class ModelWorker:
         cache = engine.new_kv_cache(dtype=memory.dtype)
         last, cache = engine.prefill(plan, mem_buf, cache)
 
+        from .safety import SAFETY_MSG, safety_check
+
         generated: list = []
         text = ""
         for tok, cache in engine.decode_stream(
@@ -172,6 +174,10 @@ class ModelWorker:
                 text = tokenizer.decode(generated, skip_special_tokens=True)
             except TypeError:
                 text = tokenizer.decode(generated)
+            # periodic keyword safety scan (reference model_worker.py:286-295)
+            if len(generated) % 8 == 0 and not safety_check(text):
+                yield json.dumps({"text": SAFETY_MSG, "error_code": 1}).encode() + b"\0"
+                return
             if stop_str and stop_str in text:
                 text = text.split(stop_str)[0]
                 yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"

@@ -1,0 +1,159 @@
+"""Browser chat UI — the gradio_web_server role (reference
+serve/gradio_web_server.py) on the standard library: one HTML page with
+fetch-streaming JS, served next to a JSON proxy to the controller.
+
+  python -m streammind_tpu.serve.web_server --controller-url http://...:10000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..utils.logging import build_logger
+from .controller import http_post_json
+
+logger = build_logger("web_server", "web_server.log")
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>StreamMind-TPU</title>
+<style>
+ body { font-family: sans-serif; max-width: 760px; margin: 2em auto; }
+ #log { border: 1px solid #ccc; padding: 1em; min-height: 280px; white-space: pre-wrap; }
+ textarea, input, select, button { font-size: 1em; margin: 0.2em 0; }
+ textarea { width: 100%%; height: 4em; }
+</style></head>
+<body>
+<h2>StreamMind-TPU</h2>
+<div>model: <select id="model"></select>
+ temperature <input id="temp" type="number" value="0.2" step="0.1" style="width:4em">
+ max tokens <input id="maxtok" type="number" value="256" style="width:5em"></div>
+<div>video path (server-side): <input id="video" style="width:60%%"></div>
+<div id="log"></div>
+<textarea id="msg" placeholder="Ask about the video..."></textarea>
+<button onclick="send()">Send</button>
+<script>
+async function refresh() {
+  const r = await fetch('/api/list_models', {method:'POST'});
+  const d = await r.json();
+  const sel = document.getElementById('model');
+  sel.innerHTML = '';
+  for (const m of d.models) { const o = document.createElement('option'); o.text = m; sel.add(o); }
+}
+let history = [];
+async function send() {
+  const msg = document.getElementById('msg').value;
+  const log = document.getElementById('log');
+  history.push(['USER', msg]);
+  log.textContent += 'USER: ' + msg + '\\n';
+  const payload = {
+    model: document.getElementById('model').value,
+    prompt: buildPrompt(),
+    video_path: document.getElementById('video').value,
+    temperature: parseFloat(document.getElementById('temp').value),
+    max_new_tokens: parseInt(document.getElementById('maxtok').value),
+  };
+  const resp = await fetch('/api/generate', {method:'POST', body: JSON.stringify(payload)});
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  let buf = '', text = '';
+  log.textContent += 'ASSISTANT: ';
+  const base = log.textContent;
+  while (true) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, {stream: true});
+    const parts = buf.split('\\u0000');
+    buf = parts.pop();
+    for (const p of parts) {
+      if (!p) continue;
+      const d = JSON.parse(p);
+      text = d.text;
+      log.textContent = base + text;
+    }
+  }
+  history.push(['ASSISTANT', text]);
+  log.textContent += '\\n';
+  document.getElementById('msg').value = '';
+}
+function buildPrompt() {
+  const sys = "A chat between a curious user and an artificial intelligence assistant. " +
+    "The assistant gives helpful, detailed, and polite answers to the user's questions.";
+  let out = '';
+  for (let i = 0; i < history.length; i++) {
+    const [role, m] = history[i];
+    if (role === 'USER') {
+      let text = m;
+      if (i === 0) text = "<<SYS>>\\n" + sys + "\\n<</SYS>>\\n\\n<video>\\n" + text;
+      out += "[INST] " + text + " [/INST]";
+    } else { out += ' ' + m + ' </s>'; }
+  }
+  return out;
+}
+refresh();
+</script></body></html>
+"""
+
+
+def make_handler(controller_url: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s" % (self.address_string(), fmt % args))
+
+        def do_GET(self):  # noqa: N802
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(length) or b"{}")
+            if self.path == "/api/list_models":
+                out = http_post_json(controller_url + "/list_models", {})
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/api/generate":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                req = urllib.request.Request(
+                    controller_url + "/worker_generate_stream",
+                    data=json.dumps(data).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    while True:
+                        chunk = resp.read(256)
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--controller-url", default="http://localhost:10000")
+    args = parser.parse_args()
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(args.controller_url))
+    logger.info(f"web ui on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

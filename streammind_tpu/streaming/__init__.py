@@ -1,2 +1,2 @@
 from .engine import DEFAULT_BUCKETS, StreamMindEngine, StreamSession
-from .state import StreamState, init_stream_state
+from .state import StreamState, init_multistream_state, init_stream_state

@@ -52,6 +52,7 @@ class StreamMindEngine:
         self.attn_impl = attn_impl
 
         self._perceive = jax.jit(self._perceive_impl, donate_argnums=(1,))
+        self._perceive_batch = jax.jit(self._perceive_batch_impl, donate_argnums=(1,))
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(4,))
         self._decode = jax.jit(self._decode_impl, static_argnums=(3,), donate_argnums=(1,))
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
@@ -81,6 +82,41 @@ class StreamMindEngine:
 
     def perceive_step(self, pixels, state: StreamState):
         return self._perceive(pixels, state)
+
+    def _perceive_batch_impl(self, pixels, state: StreamState):
+        """Multi-stream perception: pixels (S, 3, H, W), state batched with
+        leading stream axis.  One ViT/gate forward amortizes the weight reads
+        across all live streams — the continuous-batching half of BASELINE
+        config 5.  Returns (gate_probs (S, 2), new_state)."""
+        p, cfg = self.params, self.cfg
+        s = pixels.shape[0]
+        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        mem_tok, mamba_state = proj.mamba_project_step(
+            p["projector"], cfg, feats, state.mamba
+        )
+        logits = proj.gate_decision_step(p["projector"], cfg, mem_tok)
+        gate_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        slots = jnp.minimum(state.frame_idx, cfg.max_stream_frames - 1)
+
+        def put(mem_row, tok_row, slot):
+            return jax.lax.dynamic_update_slice(
+                mem_row, tok_row[None].astype(mem_row.dtype), (slot, 0)
+            )
+
+        memory = jax.vmap(put)(state.memory, mem_tok, slots)
+        new_state = StreamState(
+            mamba=mamba_state,
+            memory=memory,
+            frame_idx=state.frame_idx + 1,
+            last_fire=state.last_fire,
+        )
+        return gate_probs, new_state
+
+    def perceive_step_batch(self, pixels, state: StreamState):
+        """Batched perception over S streams (state built by
+        init_multistream_state)."""
+        return self._perceive_batch(pixels, state)
 
     # -- cognition --------------------------------------------------------
     def _prefill_impl(self, token_ids, mem_index, use_mem, memory, cache, real_len):

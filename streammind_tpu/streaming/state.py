@@ -38,3 +38,18 @@ def init_stream_state(cfg: StreamMindConfig, dtype=jnp.float32) -> StreamState:
         frame_idx=jnp.zeros((), jnp.int32),
         last_fire=jnp.zeros((), jnp.int32),
     )
+
+
+def init_multistream_state(
+    cfg: StreamMindConfig, n_streams: int, dtype=jnp.float32
+) -> StreamState:
+    """Batched state for S concurrent streams (engine.perceive_step_batch):
+    per-stream memory rings, frame counters and fire marks."""
+    return StreamState(
+        mamba=init_mamba_state(cfg.mamba, batch=n_streams),
+        memory=jnp.zeros(
+            (n_streams, cfg.max_stream_frames, cfg.text.hidden_size), dtype
+        ),
+        frame_idx=jnp.zeros((n_streams,), jnp.int32),
+        last_fire=jnp.zeros((n_streams,), jnp.int32),
+    )

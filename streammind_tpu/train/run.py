@@ -85,7 +85,12 @@ def _encode_frames_frozen(params, cfg, pixels):
 
 
 def make_batch_from_sample(sample, cfg, vision_params, stage: str):
-    """Host-side: sample dict → device batch with a bucketed splice plan."""
+    """Host-side: sample dict → device batch with a bucketed splice plan.
+
+    sample["video"] is either (T, 3, H, W) pixels or (T, P, D) pre-extracted
+    CLIP features (the shard pipeline, data/extract.py) — features skip the
+    frozen vision tower entirely.
+    """
     video = np.asarray(sample["video"], np.float32)
     t = video.shape[0]
     t_bucket = bucket_length(min(t, FRAME_BUCKETS[-1]), FRAME_BUCKETS)
@@ -93,8 +98,11 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
         video = video[-t_bucket:]
         t = t_bucket
 
-    pixels = jnp.asarray(video)
-    feats = _encode_frames_frozen({"vision": vision_params}, cfg, pixels)
+    if video.ndim == 3:  # (T, P, D) features
+        feats = jnp.asarray(video)[None]
+    else:
+        pixels = jnp.asarray(video)
+        feats = _encode_frames_frozen({"vision": vision_params}, cfg, pixels)
     # pad frames (features) to the bucket so the train step stays shape-stable
     if t < t_bucket:
         feats = jnp.pad(feats, ((0, 0), (0, t_bucket - t), (0, 0), (0, 0)))

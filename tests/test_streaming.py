@@ -127,3 +127,57 @@ def test_splice_plan_validation():
         build_splice_plan([1, 2], [3], VIDEO_TOKEN_INDEX, 32)  # no slot
     with pytest.raises(ValueError):
         build_splice_plan([1, VIDEO_TOKEN_INDEX], [64], VIDEO_TOKEN_INDEX, 32)  # too long
+
+
+def test_multistream_batched_perceive(setup, rng):
+    """Batched perception over S streams must match S independent
+    single-stream steps (the continuous-batching correctness contract)."""
+    from streammind_tpu.streaming import init_multistream_state, init_stream_state
+
+    cfg, params, engine = setup
+    S = 3
+    frames = jnp.asarray(
+        rng.standard_normal((S, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        jnp.float32,
+    )
+    batch_state = init_multistream_state(cfg, S)
+    probs_b, batch_state = engine.perceive_step_batch(frames, batch_state)
+    assert probs_b.shape == (S, 2)
+
+    for s in range(S):
+        st = init_stream_state(cfg)
+        probs_1, st = engine.perceive_step(frames[s : s + 1], st)
+        np.testing.assert_allclose(
+            np.asarray(probs_b[s]), np.asarray(probs_1), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch_state.memory[s, 0]),
+            np.asarray(st.memory[0, 0]),
+            rtol=1e-4, atol=1e-5,
+        )
+    assert (np.asarray(batch_state.frame_idx) == 1).all()
+
+
+def test_memory_subsampling(rng):
+    from streammind_tpu.streaming.sampling import (
+        exponential_sampling,
+        similarity_sampling,
+        subsample_memory,
+    )
+
+    toks = jnp.asarray(rng.standard_normal((10, 8)), jnp.float32)
+    lin = exponential_sampling(toks, 0.6)
+    assert lin.shape == (6, 8)
+    np.testing.assert_array_equal(np.asarray(lin[0]), np.asarray(toks[0]))
+    np.testing.assert_array_equal(np.asarray(lin[-1]), np.asarray(toks[-1]))
+    # tiny input → at least one token survives
+    assert exponential_sampling(toks[:1], 0.1).shape == (1, 8)
+
+    sim = similarity_sampling(toks, 0.5)
+    assert sim.shape == (5, 8)
+    # the last token is maximally similar to itself → always kept
+    np.testing.assert_array_equal(np.asarray(sim[-1]), np.asarray(toks[-1]))
+
+    np.testing.assert_array_equal(
+        np.asarray(subsample_memory(toks, "all")), np.asarray(toks)
+    )
