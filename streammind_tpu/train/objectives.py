@@ -31,7 +31,9 @@ def lm_cross_entropy(
     shift_logits = logits[:, :-1].astype(jnp.float32)
     shift_labels = labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX
-    safe = jnp.where(valid, shift_labels, 0)
+    # clip: an out-of-vocab label would otherwise hit take_along_axis's NaN
+    # fill path and silently poison the whole loss
+    safe = jnp.clip(jnp.where(valid, shift_labels, 0), 0, logits.shape[-1] - 1)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     n = jnp.maximum(jnp.sum(valid), 1)

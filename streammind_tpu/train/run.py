@@ -236,7 +236,10 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
         step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
 
+        from ..utils.metrics_writer import MetricsWriter
+
         metrics_log = MetricLogger()
+        writer = MetricsWriter(os.path.join(training_args.output_dir, "logs"))
         t0 = time.time()
         for step in range(start_step, total_steps):
             sample = dataset[step % len(dataset)]
@@ -251,6 +254,10 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     f"step {step+1}/{total_steps} {metrics_log} "
                     f"({(time.time()-t0)/(step-start_step+1):.2f}s/it)"
                 )
+                writer.write(step + 1, {
+                    "train/loss": float(metrics["loss"]),
+                    "train/grad_norm": float(metrics["grad_norm"]),
+                })
             if (step + 1) % training_args.save_steps == 0 or step + 1 == total_steps:
                 save_checkpoint(
                     training_args.output_dir, step + 1,
@@ -258,6 +265,7 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     adapter_only=(stage in ("cls", "adapter")),
                     keep=training_args.save_total_limit,
                 )
+        writer.close()
     return state
 
 

@@ -8,7 +8,10 @@ label-masking arithmetic depends on:
 """
 from typing import List
 
-SPACE_ID = 29871  # '▁' in the Mistral vocab
+# '▁' is 29871 in the real Mistral vocab; tests use tiny models with
+# vocab_size 256, so all fake ids must stay below that (out-of-vocab labels
+# turn into NaN via take_along_axis fill semantics).
+SPACE_ID = 250
 
 
 class SPLikeTokenizer:
@@ -22,7 +25,7 @@ class SPLikeTokenizer:
     def __init__(self):
         self._vocab = {"</s>": 2, "<s>": 1, "<unk>": 0}
         self._rev = {2: "</s>", 1: "<s>", 0: "<unk>"}
-        self._next = 1000
+        self._next = 10
 
     class _Out:
         def __init__(self, ids):
@@ -33,6 +36,8 @@ class SPLikeTokenizer:
             self._vocab[w] = self._next
             self._rev[self._next] = w
             self._next += 1
+            if self._next >= SPACE_ID:  # wrap inside the tiny test vocab
+                self._next = 10
         return self._vocab[w]
 
     def _encode_chunk(self, chunk: str) -> List[int]:

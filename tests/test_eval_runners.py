@@ -100,3 +100,30 @@ def test_gpt_judge_pipeline(tmp_path):
     before = calls["n"]
     out2 = judge_predictions(preds, str(tmp_path / "judge"), judge_fn=fake_judge)
     assert calls["n"] == before and out2 == out
+
+
+def test_lta_metric():
+    from streammind_tpu.eval.run_ego4d_lta import (
+        ed_at_k,
+        edit_distance,
+        parse_action_text,
+        score_lta,
+    )
+
+    assert edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert edit_distance([1, 2, 3], [1, 9, 3]) == 1
+    assert edit_distance([], [1, 2]) == 2
+
+    vv = {"take": 0, "put": 1, "stir": 2}
+    nv = {"spoon": 0, "pot": 1, "cup": 2}
+    verbs, nouns = parse_action_text("take spoon, stir pot", vv, nv, z=3)
+    assert verbs == [0, 2, -1] and nouns == [0, 1, -1]
+
+    # perfect candidate among K → ED 0
+    preds = [["take spoon, stir pot", "put cup"]]
+    out = score_lta(preds, [[0, 2]], [[0, 1]], vv, nv)
+    assert out["verb_ed"] == 0.0 and out["noun_ed"] == 0.0
+
+    # all-wrong → ED 1
+    out2 = score_lta([["put cup, put cup"]], [[0, 2]], [[0, 1]], vv, nv)
+    assert out2["verb_ed"] == 1.0

@@ -181,3 +181,41 @@ def test_memory_subsampling(rng):
     np.testing.assert_array_equal(
         np.asarray(subsample_memory(toks, "all")), np.asarray(toks)
     )
+
+
+def test_multistream_server_lifecycle(setup, rng):
+    from streammind_tpu.streaming.multistream import MultiStreamServer
+
+    cfg, params, engine = setup
+    tok = FakeTokenizer()
+    server = MultiStreamServer(engine, capacity=4)
+    server.add_stream("a", tok, prompt_ids=[1, 10, VIDEO_TOKEN_INDEX, 12],
+                      gate_threshold=-1.0, max_new_tokens=3)
+    server.add_stream("b", tok, prompt_ids=[1, 11, VIDEO_TOKEN_INDEX, 13],
+                      gate_threshold=2.0)
+
+    f = lambda: np.asarray(rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)), np.float32)
+
+    # tick 1: both streams fed; a fires, b silent
+    out = server.step({"a": f(), "b": f()})
+    assert out["a"] is not None and out["b"] is None
+    assert server.slots[0].frame_idx == 1 and server.slots[1].frame_idx == 1
+
+    # tick 2: only b fed — a's state must be frozen
+    mamba_ssm_a = np.asarray(server.state.mamba.ssm[:, 0]).copy()
+    out2 = server.step({"b": f()})
+    assert "a" not in out2
+    np.testing.assert_array_equal(
+        np.asarray(server.state.mamba.ssm[:, 0]), mamba_ssm_a
+    )
+    assert int(server.state.frame_idx[0]) == 1
+    assert int(server.state.frame_idx[1]) == 2
+
+    # remove + slot reuse
+    server.remove_stream("a")
+    assert float(np.abs(np.asarray(server.state.memory[0])).sum()) == 0.0
+    idx = server.add_stream("c", tok, gate_threshold=2.0)
+    assert idx == 0
+    out3 = server.step({"c": f(), "b": f()})
+    assert out3["c"] is None

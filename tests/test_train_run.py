@@ -66,6 +66,11 @@ def test_train_stage1_and_resume(tmp_path, cfg):
     ma, da, ta = _args(tmp_path, "llm")
     state = train(ma, da, ta, dataset=ds, cfg=cfg)
     assert int(state.step) == 4
+    # every logged loss must be finite (regression: OOV labels → NaN fill)
+    import json as _json
+    log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
+    losses = [_json.loads(l)["train/loss"] for l in open(log)]
+    assert losses and all(np.isfinite(losses)), losses
     assert sorted_checkpoints(str(tmp_path)) == [2, 4]
 
     # resume: second run starts at 4 and should no-op (max_steps reached)
