@@ -66,6 +66,22 @@ def stage1_llm_loss(
     return loss
 
 
+def text_only_llm_loss(
+    params,
+    cfg: StreamMindConfig,
+    token_ids: jax.Array,   # (B, P)
+    attn_mask: jax.Array,   # (B, P)
+    labels: jax.Array,      # (B, P)
+) -> jax.Array:
+    """Plain LM loss for text-only SFT records (no modal slot — the
+    reference splices an empty feature span, videollama2_arch.py:655-663)."""
+    logits, _ = lm.text_forward(
+        params["text"], cfg.text, input_ids=token_ids, attn_mask=attn_mask
+    )
+    loss, _ = lm_cross_entropy(logits, labels)
+    return loss
+
+
 def stage2_gate_loss(
     params,
     cfg: StreamMindConfig,

@@ -84,6 +84,44 @@ def _encode_frames_frozen(params, cfg, pixels):
     return feats[None]
 
 
+def make_sft_batch(sample, cfg, vision_params):
+    """SFT record (data/sft.py) → batch.  Text-only records return a
+    token-only batch (no frames key); media records go through the splice."""
+    from ..constants import IGNORE_INDEX, MMODAL_TOKEN_INDEX
+
+    ids = list(np.asarray(sample["input_ids"])[0])
+    labels = list(np.asarray(sample["labels"])[0])
+    if sample.get("modal") is None:
+        bucket = bucket_length(len(ids), PLAN_BUCKETS)
+        pad = bucket - len(ids)
+        return {
+            "kind": "text",
+            "token_ids": jnp.asarray(ids + [0] * pad)[None],
+            "attn_mask": jnp.asarray([True] * len(ids) + [False] * pad)[None],
+            "labels": jnp.asarray(labels + [IGNORE_INDEX] * pad)[None],
+        }
+    modal_index = MMODAL_TOKEN_INDEX[sample["modal"]]
+    video = np.asarray(sample["video"], np.float32)
+    t = video.shape[0]
+    t_bucket = bucket_length(min(t, FRAME_BUCKETS[-1]), FRAME_BUCKETS)
+    video = video[-t_bucket:]
+    t = min(t, t_bucket)
+    feats = _encode_frames_frozen({"vision": vision_params}, cfg, jnp.asarray(video))
+    if t < t_bucket:
+        feats = jnp.pad(feats, ((0, 0), (0, t_bucket - t), (0, 0), (0, 0)))
+    bucket = bucket_length(len(ids) - 1 + t, PLAN_BUCKETS)
+    plan = build_splice_plan(ids, [t], modal_index, bucket, labels=labels)
+    return {
+        "kind": "media",
+        "frames": feats,
+        "token_ids": jnp.asarray(plan.token_ids)[None],
+        "mem_index": jnp.asarray(plan.mem_index)[None],
+        "use_mem": jnp.asarray(plan.use_mem)[None],
+        "attn_mask": jnp.asarray(plan.attn_mask)[None],
+        "labels": jnp.asarray(plan.labels)[None],
+    }
+
+
 def make_batch_from_sample(sample, cfg, vision_params, stage: str):
     """Host-side: sample dict → device batch with a bucketed splice plan.
 
@@ -182,6 +220,17 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                 data_args.data_path, tokenizer, cur_fps=data_args.cur_fps,
                 seed=training_args.seed,
             )
+        elif data_args.dataset == "sft":
+            from ..data.sft import VideoLLaVASFTDataset
+            import transformers
+
+            tokenizer = transformers.AutoTokenizer.from_pretrained(model_args.model_path)
+            dataset = VideoLLaVASFTDataset(
+                data_args.data_path, data_args.data_folder or ".", tokenizer,
+                num_frames=model_args.num_frames,
+                style="plain" if model_args.tune_mm_mlp_adapter else "llama_2",
+                seed=training_args.seed,
+            )
         else:
             raise ValueError(f"unknown dataset {data_args.dataset}")
 
@@ -224,6 +273,8 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     start_step = meta["step"]
                     logger.info(f"resumed from {latest}")
 
+        from .objectives import text_only_llm_loss
+
         if stage == "cls":
             def loss_fn(p, b):
                 return stage2_gate_loss(p, cfg, b["frames"], b["labels"], b["mask"])
@@ -234,7 +285,11 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     b["use_mem"], b["attn_mask"], b["labels"],
                 )
 
+        def text_loss_fn(p, b):
+            return text_only_llm_loss(p, cfg, b["token_ids"], b["attn_mask"], b["labels"])
+
         step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
+        step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))
 
         from ..utils.metrics_writer import MetricsWriter
 
@@ -243,10 +298,16 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         t0 = time.time()
         for step in range(start_step, total_steps):
             sample = dataset[step % len(dataset)]
-            batch = make_batch_from_sample(
-                sample, cfg, state.params["vision"], stage
-            )
-            state, metrics = step_fn(state, batch)
+            if "modal" in sample:  # offline SFT record
+                batch = make_sft_batch(sample, cfg, state.params["vision"])
+            else:
+                batch = make_batch_from_sample(
+                    sample, cfg, state.params["vision"], stage
+                )
+            if batch.pop("kind", None) == "text":
+                state, metrics = step_fn_text(state, batch)
+            else:
+                state, metrics = step_fn(state, batch)
             metrics_log.update(loss=float(metrics["loss"]),
                                grad_norm=float(metrics["grad_norm"]))
             if (step + 1) % training_args.logging_steps == 0:

@@ -116,3 +116,43 @@ def test_lora_init_and_merge(cfg, rng):
     merged = merge_lora_into_params(params, lora, r=4, alpha=8)
     merged_logits, _ = lm.text_forward(merged["text"], cfg.text, input_ids=ids)
     assert not np.allclose(np.asarray(base_logits), np.asarray(merged_logits))
+
+
+@pytest.mark.slow
+def test_train_sft_mixed_media_and_text(tmp_path, cfg):
+    """SFT path: media + text-only records through the two step programs."""
+    import json as _json
+
+    tok = SPLikeTokenizer()
+    records = [
+        {"id": "m", "video": "a.mp4", "conversations": [
+            {"from": "human", "value": "<video>\ndescribe"},
+            {"from": "gpt", "value": "things happen"}]},
+        {"id": "t", "conversations": [
+            {"from": "human", "value": "hello there"},
+            {"from": "gpt", "value": "hi friend"}]},
+    ]
+    jpath = tmp_path / "sft.json"
+    jpath.write_text(_json.dumps(records))
+
+    from streammind_tpu.data.sft import VideoLLaVASFTDataset
+
+    def fake_loader(path, is_video):
+        rng2 = np.random.default_rng(1)
+        n = 4 if is_video else 1
+        return rng2.standard_normal(
+            (n, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ).astype(np.float32)
+
+    ds = VideoLLaVASFTDataset(str(jpath), str(tmp_path), tok, frame_loader=fake_loader)
+    ma = ModelArguments()
+    da = DataArguments(dataset="sft", score_dataset_train_llm=True)
+    ta = TrainingArguments(
+        output_dir=str(tmp_path / "out"), learning_rate=1e-3, bf16=False,
+        save_steps=10, logging_steps=1, max_steps=4, resume=False,
+    )
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 4
+    log = os.path.join(str(tmp_path / "out"), "logs", "metrics.jsonl")
+    losses = [_json.loads(l)["train/loss"] for l in open(log)]
+    assert all(np.isfinite(losses)), losses
