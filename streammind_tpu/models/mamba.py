@@ -110,8 +110,17 @@ def init_video_mamba_params(key, cfg: MambaConfig, dtype=jnp.float32):
     }
 
 
-def _mixer_forward(bp, cfg: MambaConfig, x: jax.Array, impl: str) -> Tuple[jax.Array, Tuple]:
-    """Core Mamba mixer over (B, L, D) → (B, L, D) + final (conv, ssm) state."""
+def _mixer_forward(
+    bp, cfg: MambaConfig, x: jax.Array, impl: str,
+    conv_state0: Optional[jax.Array] = None,
+    ssm_state0: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple]:
+    """Core Mamba mixer over (B, L, D) → (B, L, D) + final (conv, ssm) state.
+
+    With conv_state0/ssm_state0 the block continues a stream mid-flight
+    (chunked prefill): the conv sees the carried d_conv-1 input window and
+    the scan starts from the carried SSM state.
+    """
     b, l, _ = x.shape
     dt_rank = cfg.dt_rank_
 
@@ -123,10 +132,18 @@ def _mixer_forward(bp, cfg: MambaConfig, x: jax.Array, impl: str) -> Tuple[jax.A
 
     conv_w = bp["conv1d"]["weight"]
     conv_b = bp["conv1d"].get("bias")
-    xconv = causal_conv1d(xs_t, conv_w, conv_b, activation="silu")  # (B, Din, L)
+    if conv_state0 is not None:
+        # prepend the carried window, convolve valid, keep the last L steps
+        hist = conv_state0[:, :, 1:].astype(xs_t.dtype)  # last d_conv-1 inputs
+        ext = jnp.concatenate([hist, xs_t], axis=2)
+        xconv = causal_conv1d(ext, conv_w, conv_b, activation="silu")[:, :, -l:]
+        pad_src = ext
+    else:
+        xconv = causal_conv1d(xs_t, conv_w, conv_b, activation="silu")  # (B, Din, L)
+        pad_src = xs_t
 
     # Final conv window state: last d_conv inputs (pre-activation), zero-padded.
-    pad = jnp.pad(xs_t, ((0, 0), (0, 0), (max(cfg.d_conv - l, 0), 0)))
+    pad = jnp.pad(pad_src, ((0, 0), (0, 0), (max(cfg.d_conv - pad_src.shape[-1], 0), 0)))
     conv_state = pad[:, :, -cfg.d_conv:]
 
     x_dbl = xconv.transpose(0, 2, 1) @ bp["x_proj"]["weight"].T.astype(x.dtype)  # (B,L,R+2N)
@@ -146,6 +163,7 @@ def _mixer_forward(bp, cfg: MambaConfig, x: jax.Array, impl: str) -> Tuple[jax.A
         delta_bias=bp["dt_proj"]["bias"],
         delta_softplus=True,
         return_last_state=True,
+        h0=ssm_state0,
         impl=impl,
     )
     out = y.transpose(0, 2, 1) @ bp["out_proj"]["weight"].T.astype(x.dtype)
@@ -200,13 +218,11 @@ def video_mamba_forward(
     for i, bp in enumerate(params["blocks"]):
         residual = hidden if residual is None else hidden + residual
         normed = layer_norm(residual, bp["norm"]["weight"], bp["norm"]["bias"], cfg.layer_norm_eps)
-        if state is not None:
-            # Chunked continuation (multi-frame batches mid-stream) lands with
-            # the streaming engine; the per-frame path is video_mamba_step.
-            raise NotImplementedError(
-                "use video_mamba_step for stateful streaming; forward starts fresh"
-            )
-        hidden, (cs, ss) = _mixer_forward(bp, cfg, normed, impl)
+        hidden, (cs, ss) = _mixer_forward(
+            bp, cfg, normed, impl,
+            conv_state0=state.conv[i] if state is not None else None,
+            ssm_state0=state.ssm[i] if state is not None else None,
+        )
         conv_states.append(cs)
         ssm_states.append(ss)
     residual = hidden + residual if residual is not None else hidden

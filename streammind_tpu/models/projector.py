@@ -97,6 +97,21 @@ def mamba_project(
     return x, state
 
 
+def mamba_project_chunk(
+    params,
+    cfg: StreamMindConfig,
+    frames_features: jax.Array,  # (B, T, N, H) burst of frames mid-stream
+    state: MambaState,
+) -> Tuple[jax.Array, MambaState]:
+    """Stateful chunked projection: continue the carried Mamba state over a
+    burst of T frames in one scan (catch-up path; equals T single steps)."""
+    x = spatial_pool(frames_features)
+    x = jax.nn.leaky_relu(linear(x, params["pre_net"]), negative_slope=0.01)
+    x, state = video_mamba_forward(params["mamba"], cfg.mamba, x, state=state)
+    x = linear(jax.nn.leaky_relu(x, negative_slope=0.01), params["post_net"])
+    return x, state
+
+
 def mamba_project_step(
     params,
     cfg: StreamMindConfig,

@@ -128,6 +128,40 @@ class StreamMindEngine:
             feed_mask = jnp.ones((pixels.shape[0],), bool)
         return self._perceive_batch(pixels, state, feed_mask)
 
+    def perceive_burst(self, pixels, state: StreamState):
+        """Catch-up path: a burst of T frames for ONE stream in a single
+        chunked scan (equals T perceive_steps; one ViT batch + one stateful
+        Mamba forward).  pixels (T, 3, H, W); returns (gate_probs of the
+        LAST frame, new_state).  Compiled per frame-count bucket."""
+        t = pixels.shape[0]
+        return self._perceive_burst_jit(pixels, state)
+
+    @functools.cached_property
+    def _perceive_burst_jit(self):
+        return jax.jit(self._perceive_burst_impl, donate_argnums=(1,))
+
+    def _perceive_burst_impl(self, pixels, state: StreamState):
+        p, cfg = self.params, self.cfg
+        t = pixels.shape[0]
+        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        mem_toks, mamba_state = proj.mamba_project_chunk(
+            p["projector"], cfg, feats[None], state.mamba
+        )  # (1, T, D)
+        logits = proj.gate_decision_step(p["projector"], cfg, mem_toks[:, -1])
+        gate_probs = jax.nn.softmax(logits[0].astype(jnp.float32))
+
+        slot = jnp.minimum(state.frame_idx, cfg.max_stream_frames - t)
+        memory = jax.lax.dynamic_update_slice(
+            state.memory, mem_toks.astype(state.memory.dtype), (0, slot, 0)
+        )
+        new_state = StreamState(
+            mamba=mamba_state,
+            memory=memory,
+            frame_idx=state.frame_idx + t,
+            last_fire=state.last_fire,
+        )
+        return gate_probs, new_state
+
     # -- cognition --------------------------------------------------------
     def _prefill_impl(self, token_ids, mem_index, use_mem, memory, cache, real_len):
         """Bucketed prefill of a right-padded suffix block.

@@ -166,3 +166,22 @@ def test_connector_projectors(rng, ptype):
     if ptype.startswith("st"):
         # temporal 2x downsample: token count reflects t/2 (stc pads +1)
         assert out.shape[1] > 0
+
+
+def test_video_mamba_chunked_continuation(rng):
+    """forward(chunk1) then forward(chunk2, state) == one full forward —
+    burst catch-up support for streaming."""
+    cfg = tiny_mamba_config()
+    params = mamba_mod.init_video_mamba_params(jax.random.PRNGKey(10), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 11, cfg.d_model)), jnp.float32)
+    y_full, final = mamba_mod.video_mamba_forward(params, cfg, x)
+    y1, st = mamba_mod.video_mamba_forward(params, cfg, x[:, :4])
+    y2, st2 = mamba_mod.video_mamba_forward(params, cfg, x[:, 4:], state=st)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_full[:, :4]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_full[:, 4:]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st2.ssm), np.asarray(final.ssm), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st2.conv), np.asarray(final.conv), rtol=1e-4, atol=1e-4)
+    # chunk shorter than the conv window
+    y3a, sta = mamba_mod.video_mamba_forward(params, cfg, x[:, :2])
+    y3b, stb = mamba_mod.video_mamba_forward(params, cfg, x[:, 2:3], state=sta)
+    np.testing.assert_allclose(np.asarray(y3b), np.asarray(y_full[:, 2:3]), rtol=1e-4, atol=1e-4)

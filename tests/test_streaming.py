@@ -219,3 +219,28 @@ def test_multistream_server_lifecycle(setup, rng):
     assert idx == 0
     out3 = server.step({"c": f(), "b": f()})
     assert out3["c"] is None
+
+
+def test_perceive_burst_equals_steps(setup, rng):
+    """A 5-frame burst through perceive_burst == 5 perceive_steps."""
+    cfg, params, engine = setup
+    frames = jnp.asarray(
+        rng.standard_normal((5, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        jnp.float32,
+    )
+    st_a = init_stream_state(cfg)
+    for t in range(5):
+        probs_a, st_a = engine.perceive_step(frames[t : t + 1], st_a)
+
+    st_b = init_stream_state(cfg)
+    probs_b, st_b = engine.perceive_burst(frames, st_b)
+
+    np.testing.assert_allclose(np.asarray(probs_b), np.asarray(probs_a), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_b.memory[0, :5]), np.asarray(st_a.memory[0, :5]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_b.mamba.ssm), np.asarray(st_a.mamba.ssm), rtol=1e-4, atol=1e-4
+    )
+    assert int(st_b.frame_idx) == 5
