@@ -184,6 +184,70 @@ class ModelWorker:
                 return
             yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
 
+    # -- live streaming-video sessions (the event-gated product loop) -------
+    def stream_session_start(self, params: dict) -> dict:
+        sid = params.get("session_id") or str(uuid.uuid4())[:8]
+        prompt = params.get("prompt")
+        prompt_ids = None
+        if prompt:
+            from ..constants import MMODAL_TOKEN_INDEX
+            from ..mm_utils import tokenizer_multimodal_token
+
+            prompt_ids = tokenizer_multimodal_token(
+                prompt, self.tokenizer, MMODAL_TOKEN_INDEX["VIDEO"]
+            )
+        from ..streaming.engine import StreamSession
+
+        if not hasattr(self, "_sessions"):
+            self._sessions = {}
+            self._sessions_lock = threading.Lock()
+        session = StreamSession(
+            self.model.engine, self.tokenizer, prompt_ids=prompt_ids,
+            max_new_tokens=int(params.get("max_new_tokens", 128)),
+            gate_threshold=params.get("gate_threshold"),
+        )
+        with self._sessions_lock:
+            self._sessions[sid] = session
+        return {"session_id": sid}
+
+    def _decode_frame(self, params: dict):
+        import jax.numpy as jnp
+
+        from ..mm_utils import clip_preprocess
+
+        if "frame_b64" in params:
+            from io import BytesIO
+            from PIL import Image
+
+            img = Image.open(BytesIO(base64.b64decode(params["frame_b64"])))
+            size = self.model.cfg.vision.image_size
+            return jnp.asarray(clip_preprocess([img], image_size=size))
+        return jnp.asarray(np.asarray(params["pixels"], np.float32))
+
+    def stream_session_frame(self, params: dict) -> dict:
+        sid = params["session_id"]
+        with self._sessions_lock:
+            session = self._sessions.get(sid)
+        if session is None:
+            return {"error": f"unknown session {sid}", "error_code": 4}
+        pixels = self._decode_frame(params)
+        text = session.process_frame(pixels)
+        return {
+            "fire": text is not None,
+            "text": text,
+            "frame_idx": int(session.state.frame_idx),
+            "error_code": 0,
+        }
+
+    def stream_session_stop(self, params: dict) -> dict:
+        sid = params["session_id"]
+        with self._sessions_lock:
+            session = self._sessions.pop(sid, None)
+        if session is None:
+            return {"error": f"unknown session {sid}", "error_code": 4}
+        return {"turns": session.turns, "intervals": session.interval_ids,
+                "error_code": 0}
+
     def generate_stream_gate(self, params: dict):
         try:
             with self.semaphore:
@@ -225,6 +289,12 @@ def make_handler(worker: ModelWorker):
                     self.wfile.flush()
             elif path == "/worker_get_status":
                 self._json(worker.get_status())
+            elif path == "/stream_session/start":
+                self._json(worker.stream_session_start(data))
+            elif path == "/stream_session/frame":
+                self._json(worker.stream_session_frame(data))
+            elif path == "/stream_session/stop":
+                self._json(worker.stream_session_stop(data))
             else:
                 self._json({"error": f"unknown path {path}"}, status=404)
 

@@ -417,6 +417,26 @@ class StreamSession:
             span = [max(cur_clamped - 1, 0)]
         self.interval_ids.append(cur)
 
+        # KV-capacity guard: when the turn won't fit, drop the cache and
+        # carry the dialogue as text (the reference's past_review_caption
+        # mechanism, videollama2_mistral.py:375-378) — recent turns only.
+        needed = len(self.pending_ids) + len(span) + 32 + self.max_new_tokens
+        if int(self.cache.length[0]) + needed > eng.kv_capacity:
+            # history must also fit the largest prefill bucket alongside the
+            # span + the fresh turn scaffold
+            keep = min(
+                eng.kv_capacity // 2,
+                max(eng.buckets) - len(span) - len(self.pending_ids) - 40,
+            )
+            history: list = []
+            for turn in self.turns[::-1]:
+                ids = self._encode_tail(f" {turn} </s>")
+                if len(history) + len(ids) > keep:
+                    break
+                history = ids + history
+            self.cache = eng.new_kv_cache()
+            self.pending_ids = history + self.pending_ids
+
         text, tokens, self.pending_ids, self.cache = run_cognition_turn(
             eng, self.tokenizer, self.state.memory, span, self.pending_ids,
             self.cache, self.max_new_tokens,
@@ -426,3 +446,10 @@ class StreamSession:
             last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames))
         )
         return text
+
+    def _encode_tail(self, text: str):
+        ids = self.tokenizer(text).input_ids
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is not None and ids and ids[0] == bos:
+            ids = ids[1:]
+        return ids

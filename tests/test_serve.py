@@ -111,3 +111,66 @@ def test_http_end_to_end_stream(rng):
 
     ctrl_server.shutdown()
     wserver.shutdown()
+
+
+@pytest.mark.slow
+def test_streaming_session_http(rng):
+    """Live streaming-session API: start → frames (silence/fire) → stop."""
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jax.numpy.float32
+    )
+    wport = _free_port()
+    worker = ModelWorker(
+        controller_addr="http://none", worker_addr=f"http://127.0.0.1:{wport}",
+        model_path="", model_name="tiny", model=model, tokenizer=tok,
+        no_register=True,
+    )
+    from streammind_tpu.serve.model_worker import serve_worker as _sw
+
+    wserver = _sw(worker, "127.0.0.1", wport)
+    t = threading.Thread(target=wserver.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.2)
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{wport}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=300).read())
+
+    sid = post("/stream_session/start", {
+        "prompt": "[INST] <video>\n narrate [/INST]",
+        "gate_threshold": -1.0, "max_new_tokens": 3,
+    })["session_id"]
+
+    # b64 JPEG frame path
+    img = Image.fromarray(
+        (rng.random((cfg.vision.image_size, cfg.vision.image_size, 3)) * 255).astype("uint8")
+    )
+    buf = BytesIO(); img.save(buf, format="JPEG")
+    out = post("/stream_session/frame", {
+        "session_id": sid, "frame_b64": base64.b64encode(buf.getvalue()).decode(),
+    })
+    assert out["fire"] is True and out["text"] is not None
+    assert out["frame_idx"] == 1
+
+    # raw pixels path + silence threshold change is per-session: new session
+    sid2 = post("/stream_session/start", {"gate_threshold": 2.0})["session_id"]
+    frame = rng.standard_normal((1, 3, cfg.vision.image_size, cfg.vision.image_size)).tolist()
+    out2 = post("/stream_session/frame", {"session_id": sid2, "pixels": frame})
+    assert out2["fire"] is False and out2["text"] is None
+
+    stopped = post("/stream_session/stop", {"session_id": sid})
+    assert len(stopped["turns"]) == 1
+    # unknown session → clean error
+    bad = post("/stream_session/frame", {"session_id": "nope", "pixels": frame})
+    assert bad["error_code"] == 4
+    wserver.shutdown()

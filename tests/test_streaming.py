@@ -244,3 +244,22 @@ def test_perceive_burst_equals_steps(setup, rng):
         np.asarray(st_b.mamba.ssm), np.asarray(st_a.mamba.ssm), rtol=1e-4, atol=1e-4
     )
     assert int(st_b.frame_idx) == 5
+
+
+def test_kv_capacity_guard(rng):
+    """Long dialogues survive KV-cache exhaustion: the session resets the
+    cache and re-carries recent turns as text (past_review_caption style)."""
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(3), cfg)
+    engine = StreamMindEngine(params, cfg, eos_token_id=2,
+                              prefill_buckets=(32, 64), kv_capacity=96)
+    tok = FakeTokenizer()
+    s = StreamSession(engine, tok, prompt_ids=[1, 10, -201, 12],
+                      gate_threshold=-1.0, max_new_tokens=4)
+    frame = lambda: jnp.asarray(rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+    for i in range(8):  # enough turns to overflow 96 twice
+        out = s.process_frame(frame())
+        assert out is not None
+        assert int(s.cache.length[0]) <= 96
+    assert len(s.turns) == 8
