@@ -160,6 +160,51 @@ def infer(
         return tokenizer.decode(tokens).strip()
 
 
+def infer_beams(
+    model: StreamMindModel,
+    video,
+    instruct: str,
+    tokenizer,
+    num_beams: int = 5,
+    num_return_sequences: int = 5,
+    max_new_tokens: int = 512,
+    version: str = "llama_2",
+):
+    """Beam-search inference returning K candidate texts (the reference LTA
+    eval's generate(num_beams=5, num_return_sequences=5))."""
+    cfg, engine = model.cfg, model.engine
+    modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
+    conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
+    conv.append_message(conv.roles[0], DEFAULT_MMODAL_TOKEN["VIDEO"] + "\n" + instruct)
+    conv.append_message(conv.roles[1], None)
+    input_ids = tokenizer_multimodal_token(conv.get_prompt(), tokenizer, modal_index)
+
+    pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
+    feats = encode_frames(model.params, cfg, pixels)
+    from .models import projector as proj_mod2
+
+    memory, _ = proj_mod2.mamba_project(model.params["projector"], cfg, feats)
+    T = memory.shape[1]
+    plan = build_splice_plan(
+        input_ids, [T], modal_index,
+        bucket_length(len(input_ids) - 1 + T, engine.buckets),
+    )
+    mem_buf = jnp.zeros((1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype)
+    mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
+    beams = engine.beam_generate(
+        plan, mem_buf, num_beams=num_beams,
+        num_return_sequences=num_return_sequences,
+        max_new_tokens=max_new_tokens, kv_dtype=memory.dtype,
+    )
+    out = []
+    for tokens, _score in beams:
+        try:
+            out.append(tokenizer.decode(tokens, skip_special_tokens=True).strip())
+        except TypeError:
+            out.append(tokenizer.decode(tokens).strip())
+    return out
+
+
 def engine_dtype(model: StreamMindModel):
     leaf = jax.tree.leaves(model.params["vision"])[0]
     return leaf.dtype

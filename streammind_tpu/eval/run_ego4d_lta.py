@@ -5,10 +5,9 @@ future-action sequences per clip, map text to verb/noun vocabulary ids, and
 score with the official LTA metric: per-clip minimum edit distance over the
 K candidates, averaged, for verbs and nouns separately (ED@(Z=20,K=5)).
 
-The reference uses 5-beam search for the K candidates (its compute_metrics
-lives in the missing data/ package); here K candidates come from K sampled
-decodes (temperature 0.7) — documented deviation until beam search lands in
-the engine.
+K candidates come from true beam search (engine.beam_generate, matching the
+reference's generate(num_beams=5, num_return_sequences=5)); pass --sampled
+to use K sampled decodes instead.
 """
 from __future__ import annotations
 
@@ -101,12 +100,14 @@ def main():
     parser.add_argument("--verb-vocab", required=True)
     parser.add_argument("--noun-vocab", required=True)
     parser.add_argument("--k", type=int, default=5)
+    parser.add_argument("--sampled", action="store_true",
+                        help="K sampled decodes instead of beam search")
     parser.add_argument("--num-frames", type=int, default=32)
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     args = parser.parse_args()
 
-    from ..api import infer, model_init
+    from ..api import infer, infer_beams, model_init
     from .mcqa import get_chunk
 
     model, processor, tokenizer, version = model_init(args.model_path)
@@ -124,11 +125,17 @@ def main():
             "prompt",
             "Predict the next 20 future actions as 'verb noun' steps separated by commas.",
         )
-        cands = [
-            infer(model, video, prompt, tokenizer, do_sample=(k > 0),
-                  version=version, seed=k)
-            for k in range(args.k)
-        ]
+        if args.sampled:
+            cands = [
+                infer(model, video, prompt, tokenizer, do_sample=(k > 0),
+                      version=version, seed=k)
+                for k in range(args.k)
+            ]
+        else:
+            cands = infer_beams(
+                model, video, prompt, tokenizer,
+                num_beams=args.k, num_return_sequences=args.k, version=version,
+            )
         preds.append(cands)
         gvs.append(clip["gt_verbs"])
         gns.append(clip["gt_nouns"])

@@ -146,6 +146,18 @@ def frames_to_pil(video_data: np.ndarray) -> List["Image.Image"]:
     return [Image.fromarray(f) for f in video_data]
 
 
+def create_photo_grid(frames: Sequence["Image.Image"], n: int = 2) -> "Image.Image":
+    """Tile n*n frames into one grid image (reference mm_utils.py:236-251;
+    the worker's optional 2x2 temporal-aug grid, model_worker.py:192-203)."""
+    assert len(frames) == n * n, f"need {n*n} frames, got {len(frames)}"
+    w, h = frames[0].size
+    grid = Image.new("RGB", (n * w, n * h))
+    for i in range(n):
+        for j in range(n):
+            grid.paste(frames[i * n + j], (j * w, i * h))
+    return grid
+
+
 # ---------------------------------------------------------------------------
 # Video decode
 # ---------------------------------------------------------------------------

@@ -203,6 +203,7 @@ def text_forward(
     cache_advance: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     return_hidden: bool = False,
+    remat: bool = False,
 ):
     """Full forward over a token block.
 
@@ -253,6 +254,11 @@ def text_forward(
             h = h + _mlp(y, lp, cfg)
             return h, None
 
+        if remat:
+            # per-layer rematerialization: activations of each block are
+            # recomputed in backward (the reference's gradient_checkpointing
+            # flag, finetune_stage1.sh) — O(1) layer activations live at once
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
 

@@ -257,6 +257,102 @@ class StreamMindEngine:
                 tok, cache, jnp.float32(temperature), sub
             )
 
+    def _decode_logits_batch(self, toks, cache):
+        """(K,) tokens, batch-K cache → ((K, V) logits, cache)."""
+        logits, cache = lm.text_forward(
+            self.params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache
+        )
+        return logits[:, -1, :], cache
+
+    def beam_generate(
+        self,
+        plan: SplicePlan,
+        memory: jax.Array,
+        num_beams: int = 5,
+        max_new_tokens: int = 128,
+        num_return_sequences: Optional[int] = None,
+        length_penalty: float = 1.0,
+        kv_dtype=jnp.float32,
+    ):
+        """Beam-search decoding (HF generate(num_beams=K) parity — the
+        reference's Ego4D-LTA eval path, inference_video_ego4d_lta_generate.py
+        evaluation_kwargs).  Prefills once, tiles the KV cache across beams,
+        steps all beams as one batch; beam bookkeeping is host-side numpy.
+
+        Returns a list of (token_list, score) sorted best-first.
+        """
+        if not hasattr(self, "_beam_step"):
+            self._beam_step = jax.jit(self._decode_logits_batch, donate_argnums=(1,))
+        n_ret = num_return_sequences or num_beams
+
+        cache1 = lm.init_kv_cache(self.cfg.text, 1, self.kv_capacity, kv_dtype)
+        last, cache1 = self.prefill(plan, memory, cache1)
+        logp0 = jax.nn.log_softmax(last[0].astype(jnp.float32))
+        logp0 = np.asarray(logp0)
+
+        K = num_beams
+        cache = lm.KVCache(
+            k=jnp.repeat(cache1.k, K, axis=1),
+            v=jnp.repeat(cache1.v, K, axis=1),
+            length=jnp.repeat(cache1.length, K),
+        )
+        top = np.argsort(-logp0)[:K]
+        scores = logp0[top]
+        seqs = [[int(t)] for t in top]
+        done = [int(t) == self.eos_token_id for t in top]
+        eos = self.eos_token_id
+        finished: list = [
+            ([t for t in s if t != eos], sc) for s, sc, d in zip(seqs, scores, done) if d
+        ]
+        toks = jnp.asarray([s[-1] for s in seqs], jnp.int32)
+
+        for _ in range(max_new_tokens - 1):
+            if all(done):
+                break
+            logits, cache = self._beam_step(toks, cache)
+            logp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+            # finished beams only propose repeating eos at frozen score
+            cand = scores[:, None] + logp
+            for i, d in enumerate(done):
+                if d:
+                    cand[i, :] = -np.inf
+                    cand[i, eos] = scores[i]
+            flat = np.argsort(-cand.ravel())[: 2 * K]
+            new_seqs, new_scores, new_done, reorder = [], [], [], []
+            for f in flat:
+                if len(new_seqs) == K:
+                    break
+                b, t = divmod(int(f), cand.shape[1])
+                seq = seqs[b] + ([] if done[b] else [t])
+                if t == eos and not done[b]:
+                    norm = cand[b, t] / (max(len(seq) - 1, 1) ** length_penalty)
+                    finished.append(([x for x in seq if x != eos], norm))
+                    if len(finished) >= 4 * K:
+                        continue
+                    continue
+                new_seqs.append(seq)
+                new_scores.append(cand[b, t])
+                new_done.append(done[b])
+                reorder.append(b)
+            if not new_seqs:
+                break
+            seqs, scores, done = new_seqs, np.asarray(new_scores), new_done
+            idx = jnp.asarray(reorder)
+            cache = lm.KVCache(
+                k=jnp.take(cache.k, idx, axis=1),
+                v=jnp.take(cache.v, idx, axis=1),
+                length=jnp.take(cache.length, idx),
+            )
+            toks = jnp.asarray([s[-1] for s in seqs], jnp.int32)
+
+        for s, sc in zip(seqs, scores):
+            finished.append((
+                [x for x in s if x != eos],
+                float(sc) / (max(len(s), 1) ** length_penalty),
+            ))
+        finished.sort(key=lambda p: -p[1])
+        return finished[:n_ret]
+
     def new_kv_cache(self, dtype=jnp.float32):
         return lm.init_kv_cache(self.cfg.text, batch=1, capacity=self.kv_capacity, dtype=dtype)
 

@@ -58,6 +58,7 @@ class TrainingArguments:
     logging_steps: int = 10
     seed: int = 42
     grad_clip: float = 1.0
+    gradient_checkpointing: bool = True
     resume: bool = True
     # LoRA (reference lora_enable/lora_r/lora_alpha, train_new_stream.py:110-118)
     lora_enable: bool = False

@@ -50,6 +50,7 @@ def stage1_llm_loss(
     plan_use_mem: jax.Array,     # (1, P)
     plan_attn_mask: jax.Array,   # (1, P)
     labels: jax.Array,           # (1, P)
+    remat: bool = False,
 ) -> jax.Array:
     """Spliced multimodal LM loss.  Memory tokens come from the Mamba
     projector over the frame features; the vision tower is frozen upstream
@@ -60,7 +61,8 @@ def stage1_llm_loss(
         params["text"], plan_token_ids, plan_mem_index, plan_use_mem, memory
     )
     logits, _ = lm.text_forward(
-        params["text"], cfg.text, inputs_embeds=embeds, attn_mask=plan_attn_mask
+        params["text"], cfg.text, inputs_embeds=embeds, attn_mask=plan_attn_mask,
+        remat=remat,
     )
     loss, _ = lm_cross_entropy(logits, labels)
     return loss
@@ -72,11 +74,13 @@ def text_only_llm_loss(
     token_ids: jax.Array,   # (B, P)
     attn_mask: jax.Array,   # (B, P)
     labels: jax.Array,      # (B, P)
+    remat: bool = False,
 ) -> jax.Array:
     """Plain LM loss for text-only SFT records (no modal slot — the
     reference splices an empty feature span, videollama2_arch.py:655-663)."""
     logits, _ = lm.text_forward(
-        params["text"], cfg.text, input_ids=token_ids, attn_mask=attn_mask
+        params["text"], cfg.text, input_ids=token_ids, attn_mask=attn_mask,
+        remat=remat,
     )
     loss, _ = lm_cross_entropy(logits, labels)
     return loss

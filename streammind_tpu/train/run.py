@@ -283,10 +283,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                 return stage1_llm_loss(
                     p, cfg, b["frames"], b["token_ids"], b["mem_index"],
                     b["use_mem"], b["attn_mask"], b["labels"],
+                    remat=training_args.gradient_checkpointing,
                 )
 
         def text_loss_fn(p, b):
-            return text_only_llm_loss(p, cfg, b["token_ids"], b["attn_mask"], b["labels"])
+            return text_only_llm_loss(
+                p, cfg, b["token_ids"], b["attn_mask"], b["labels"],
+                remat=training_args.gradient_checkpointing,
+            )
 
         step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
         step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))

@@ -53,3 +53,16 @@ def test_sampled_decode_differs_or_runs(model_and_tok, rng):
         model, video, "Describe.", tok, do_sample=True, max_new_tokens=6, seed=1
     )
     assert isinstance(out, str)
+
+
+def test_infer_beams(model_and_tok, rng):
+    import streammind_tpu.api as api
+
+    model, tok, version = model_and_tok
+    size = model.cfg.vision.image_size
+    video = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+    cands = api.infer_beams(model, video, "Predict actions.", tok,
+                            num_beams=3, num_return_sequences=3,
+                            max_new_tokens=5, version=version)
+    assert len(cands) == 3
+    assert all(isinstance(c, str) for c in cands)

