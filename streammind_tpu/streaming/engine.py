@@ -327,8 +327,6 @@ class StreamMindEngine:
                 if t == eos and not done[b]:
                     norm = cand[b, t] / (max(len(seq) - 1, 1) ** length_penalty)
                     finished.append(([x for x in seq if x != eos], norm))
-                    if len(finished) >= 4 * K:
-                        continue
                     continue
                 new_seqs.append(seq)
                 new_scores.append(cand[b, t])

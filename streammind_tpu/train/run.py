@@ -30,7 +30,9 @@ from ..parallel import make_mesh, shard_params
 from ..utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
+    load_opt_state,
     save_checkpoint,
+    save_opt_state,
 )
 from ..utils.logging import MetricLogger, build_logger
 from .args import DataArguments, ModelArguments, TrainingArguments, parse_args
@@ -264,14 +266,19 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         if training_args.resume:
             latest = latest_checkpoint(training_args.output_dir)
             if latest:
-                loaded, opt_state, meta = load_checkpoint(latest)
+                loaded, _, meta = load_checkpoint(latest)
                 if not meta.get("adapter_only"):
+                    restored_opt = load_opt_state(latest, state.opt_state)
                     state = state._replace(
                         params=shard_params(loaded, mesh),
+                        opt_state=restored_opt if restored_opt is not None else state.opt_state,
                         step=jnp.int32(meta["step"]),
                     )
                     start_step = meta["step"]
-                    logger.info(f"resumed from {latest}")
+                    logger.info(
+                        f"resumed from {latest}"
+                        + ("" if restored_opt is not None else " (fresh optimizer state)")
+                    )
 
         from .objectives import text_only_llm_loss
 
@@ -324,12 +331,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     "train/grad_norm": float(metrics["grad_norm"]),
                 })
             if (step + 1) % training_args.save_steps == 0 or step + 1 == total_steps:
-                save_checkpoint(
+                path = save_checkpoint(
                     training_args.output_dir, step + 1,
                     jax.tree.map(np.asarray, state.params),
                     adapter_only=(stage in ("cls", "adapter")),
                     keep=training_args.save_total_limit,
                 )
+                if stage not in ("cls", "adapter"):
+                    save_opt_state(path, state.opt_state)
         writer.close()
     return state
 

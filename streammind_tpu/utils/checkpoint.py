@@ -140,11 +140,38 @@ def latest_checkpoint(ckpt_root: str) -> Optional[str]:
 def load_checkpoint(path: str) -> Tuple[Any, Optional[Any], Dict]:
     params = load_tree(path, "params")
     opt_state = None
-    if os.path.exists(os.path.join(path, "opt_state.npz")):
+    # legacy manifest-based opt_state trees only; optax states use
+    # save_opt_state/load_opt_state (flat-leaf format, no manifest)
+    if os.path.exists(os.path.join(path, "opt_state.json")):
         opt_state = load_tree(path, "opt_state")
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return params, opt_state, meta
+
+
+# ---------------------------------------------------------------------------
+# optimizer state (optax pytrees: NamedTuples with exotic nodes) — stored as
+# a flat leaf list; restored into a freshly init'd state's treedef.
+# ---------------------------------------------------------------------------
+def save_opt_state(path: str, opt_state) -> None:
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(
+        os.path.join(path, "opt_state.npz"),
+        **{f"l{i}": np.asarray(v) for i, v in enumerate(leaves)},
+    )
+
+
+def load_opt_state(path: str, template_opt_state):
+    """Restore into the structure of a freshly-initialized optimizer state."""
+    f = os.path.join(path, "opt_state.npz")
+    if not os.path.exists(f):
+        return None
+    data = np.load(f)
+    leaves = [jnp.asarray(data[f"l{i}"]) for i in range(len(data.files))]
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    if treedef.num_leaves != len(leaves):
+        return None  # optimizer config changed; start fresh
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 # ---------------------------------------------------------------------------
