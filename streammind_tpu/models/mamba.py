@@ -77,11 +77,13 @@ def init_mamba_block_params(key, cfg: MambaConfig, dtype=jnp.float32):
         in_proj["bias"] = zeros((2 * d_in,), dtype)
     out_proj = torch_linear_init(ks[3], cfg.d_model, d_in, bias=cfg.bias, dtype=dtype)
 
+    # torch Conv1d default kaiming_uniform(a=sqrt(5)): bound = sqrt(1/fan_in)
+    # with fan_in = d_conv for a depthwise kernel
     conv = {
         "weight": jax.random.uniform(
             ks[4], (d_in, cfg.d_conv), dtype,
-            -math.sqrt(1.0 / cfg.d_conv) * math.sqrt(3.0),
-            math.sqrt(1.0 / cfg.d_conv) * math.sqrt(3.0),
+            -math.sqrt(1.0 / cfg.d_conv),
+            math.sqrt(1.0 / cfg.d_conv),
         )
     }
     if cfg.conv_bias:

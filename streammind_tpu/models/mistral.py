@@ -168,22 +168,20 @@ def _attn_block(
 
         cache_k = put(cache_k, k)
         cache_v = put(cache_v, v)
-        capacity = cache_k.shape[1]
         total_len = cache_len + s
         if s == 1:
             o = decode_attention(q, cache_k, cache_v, total_len)
         else:
             # Prefill: causal within the new block, full visibility of the
-            # prefix, nothing beyond total_len.
-            from ..ops.attention import mha_reference
+            # prefix, nothing beyond total_len.  The flash kernel's dynamic
+            # q_offset + kv_len masking bounds the work to the valid prefix
+            # instead of materializing (B, H, S, capacity) fp32 logits.
+            from ..ops.attention import flash_attention
 
-            kv_pos_mask = jnp.arange(capacity)[None, :] < total_len[:, None]
-            kpos = jnp.arange(capacity)[None, :]
-            qpos = cache_len[:, None, None] + jnp.arange(s)[None, :, None]
-            causal_mask = kpos[:, None, :] <= qpos  # (B, S, C)
-            mask = jnp.logical_and(causal_mask, kv_pos_mask[:, None, :])
-            bias = jnp.where(mask, 0.0, -1e30)[:, None, :, :]  # (B,1,S,C)
-            o = mha_reference(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), bias=bias)
+            o = flash_attention(
+                q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                causal=True, kv_len=total_len, q_offset=cache_len,
+            )
         o = o.reshape(b, s, cfg.q_dim)
         return linear(o, lp["o"]), cache_k, cache_v
     else:

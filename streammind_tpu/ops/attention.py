@@ -73,17 +73,19 @@ def mha_reference(
 # ---------------------------------------------------------------------------
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
-def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
                   acc_scr, m_scr, l_scr,
-                  *, block_k: int, causal: bool, scale: float, q_offset: int):
+                  *, block_k: int, causal: bool, scale: float):
     """Grid: (batch*heads, num_q_blocks).  Blocks:
       q_ref: (1, BQ, D); k_ref/v_ref: (1, Sk, D); o_ref: (1, BQ, D)
-      kv_len_ref: full (B*H,) scalar-prefetch array — valid kv length per row.
+      meta_ref: (B*H, 2) scalar-prefetch — [valid kv length, q position
+      offset] per row (dynamic offsets let cached prefill reuse one program).
     """
     qb = pl.program_id(1)
     block_q = q_ref.shape[1]
     seq_k = k_ref.shape[1]
-    kv_len = kv_len_ref[pl.program_id(0)]
+    kv_len = meta_ref[pl.program_id(0), 0]
+    q_offset = meta_ref[pl.program_id(0), 1]
 
     m_scr[:, :] = jnp.full_like(m_scr, NEG_INF)
     l_scr[:, :] = jnp.zeros_like(l_scr)
@@ -136,7 +138,7 @@ def flash_attention(
     v: jax.Array,
     causal: bool = False,
     kv_len: Optional[jax.Array] = None,  # scalar or (B,) valid kv length
-    q_offset: int = 0,
+    q_offset=0,  # int or (B,) array — query position offset (cached prefill)
     softmax_scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
@@ -166,19 +168,21 @@ def flash_attention(
         kv_len_arr = jnp.full((b,), sk, jnp.int32)
     else:
         kv_len_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    q_off_arr = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b,))
 
     # Flatten (B, H) into the grid's first axis; map each head to its kv head.
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
-    kv_len_f = jnp.repeat(kv_len_arr, h)
+    meta = jnp.stack(
+        [jnp.repeat(kv_len_arr, h), jnp.repeat(q_off_arr, h)], axis=1
+    )
 
     kernel = functools.partial(
         _flash_kernel,
         block_k=block_k,
         causal=causal,
         scale=scale,
-        q_offset=q_offset,
     )
 
     grid = (b * h, sq_p // block_q)
@@ -208,7 +212,7 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
         interpret=interpret_mode(),
-    )(kv_len_f, qf, kf, vf)
+    )(meta, qf, kf, vf)
 
     out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
@@ -237,7 +241,18 @@ def attention(
     q_offset=0,
     impl: str = "auto",
 ):
-    """Dispatcher.  'auto' → reference (differentiable) path; 'flash' → Pallas."""
+    """Dispatcher.  'auto' → reference (differentiable) path; 'flash' → Pallas.
+
+    kv_mask and kv_len are interchangeable here: padding in this codebase is
+    always right-side contiguous, so a mask converts to a length (flash path)
+    and a length to a mask (reference path) without information loss.
+    """
     if impl == "flash":
+        if kv_len is None and kv_mask is not None:
+            kv_len = jnp.sum(kv_mask, axis=-1).astype(jnp.int32)
         return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
+    if kv_mask is None and kv_len is not None:
+        sk = k.shape[1]
+        kv_len_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (k.shape[0],))
+        kv_mask = jnp.arange(sk)[None, :] < kv_len_arr[:, None]
     return mha_reference(q, k, v, causal=causal, kv_mask=kv_mask, q_offset=q_offset)

@@ -166,7 +166,7 @@ class ModelWorker:
 
         generated: list = []
         text = ""
-        for tok, cache in engine.decode_stream(
+        for tok in engine.decode_stream(
             last, cache, max_new_tokens=max_new_tokens, temperature=temperature
         ):
             generated.append(tok)

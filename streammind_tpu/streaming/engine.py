@@ -150,10 +150,15 @@ class StreamMindEngine:
         logits = proj.gate_decision_step(p["projector"], cfg, mem_toks[:, -1])
         gate_probs = jax.nn.softmax(logits[0].astype(jnp.float32))
 
-        slot = jnp.minimum(state.frame_idx, cfg.max_stream_frames - t)
-        memory = jax.lax.dynamic_update_slice(
-            state.memory, mem_toks.astype(state.memory.dtype), (0, slot, 0)
-        )
+        # per-frame clamped writes — identical slot semantics to T single
+        # perceive_steps (a block write at min(idx, M-t) would clobber older
+        # slots that the pending gate span still references)
+        memory = state.memory
+        for j in range(t):  # t is static (burst bucket size)
+            slot = jnp.minimum(state.frame_idx + j, cfg.max_stream_frames - 1)
+            memory = jax.lax.dynamic_update_slice(
+                memory, mem_toks[:, j : j + 1].astype(memory.dtype), (0, slot, 0)
+            )
         new_state = StreamState(
             mamba=mamba_state,
             memory=memory,
@@ -236,9 +241,13 @@ class StreamMindEngine:
         self, last_logits, cache, max_new_tokens: int = 256,
         temperature: float = 0.0, rng_key=None,
     ):
-        """Generator yielding (token_id, cache) one token at a time —
-        the streaming-worker analogue of TextIteratorStreamer
-        (reference serve/model_worker.py:271-300)."""
+        """Generator yielding token ids one at a time — the streaming-worker
+        analogue of TextIteratorStreamer (reference model_worker.py:271-300).
+
+        The cache is CONSUMED (each step donates it), so no cache is yielded
+        back; callers that need the post-generation cache use
+        generate_from_prefill instead.
+        """
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         rng_key, k0 = jax.random.split(rng_key)
@@ -251,7 +260,7 @@ class StreamMindEngine:
         for _ in range(max_new_tokens):
             if int(tok) == self.eos_token_id:
                 return
-            yield int(tok), cache
+            yield int(tok)
             rng_key, sub = jax.random.split(rng_key)
             tok, cache = self._decode_step(
                 tok, cache, jnp.float32(temperature), sub
@@ -343,7 +352,9 @@ class StreamMindEngine:
             )
             toks = jnp.asarray([s[-1] for s in seqs], jnp.int32)
 
-        for s, sc in zip(seqs, scores):
+        for s, sc, d in zip(seqs, scores, done):
+            if d:
+                continue  # already in `finished` from its eos step
             finished.append((
                 [x for x in s if x != eos],
                 float(sc) / (max(len(s), 1) ** length_penalty),
@@ -392,6 +403,55 @@ class StreamMindEngine:
             jnp.float32(temperature), rng_key,
         )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
+
+
+def _encode_no_bos(tokenizer, text: str) -> list:
+    ids = tokenizer(text).input_ids
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and ids and ids[0] == bos:
+        ids = ids[1:]
+    return ids
+
+
+def ensure_turn_capacity(
+    engine: "StreamMindEngine",
+    tokenizer,
+    pending_ids: list,
+    turns: list,
+    cache,
+    span_len: int,
+    max_new_tokens: int,
+):
+    """KV-capacity guard shared by StreamSession and MultiStreamServer.
+
+    Prefill writes the FULL padded bucket into the cache (the pad rows are
+    overwritten later, but dynamic_update_slice clamps its start when the
+    block doesn't fit — silently corrupting earlier entries), so the budget
+    must count the bucket that build_splice_plan will pick, plus the decode
+    tokens.  On overflow: fresh cache, recent turns re-carried as text (the
+    reference's past_review_caption mechanism) — pending is REPLACED, since
+    the history already re-renders the last turn.
+    """
+    turn_scaffold = 16  # "[INST] <video>\n [/INST]" worst case
+    n_spliced = len(pending_ids) + turn_scaffold + span_len
+    bucket = bucket_length(min(n_spliced, engine.buckets[-1]), engine.buckets)
+    if int(cache.length[0]) + bucket + max_new_tokens <= engine.kv_capacity:
+        return pending_ids, cache
+
+    keep = min(
+        engine.kv_capacity // 2,
+        max(engine.buckets) - span_len - turn_scaffold - max_new_tokens,
+    )
+    history: list = []
+    for turn in turns[::-1]:
+        ids = _encode_no_bos(tokenizer, f" {turn} </s>")
+        if len(history) + len(ids) > keep:
+            break
+        history = ids + history
+    # history re-renders every kept turn incl. its </s>; the old pending
+    # (at most the dangling </s> of the last turn) is superseded by it
+    new_pending = history if turns else pending_ids
+    return new_pending, engine.new_kv_cache()
 
 
 def run_cognition_turn(
@@ -447,13 +507,16 @@ def run_cognition_turn(
     else:
         text = ""
 
+    # The generated tokens were each fed through the decode loop, so they are
+    # ALREADY in the KV cache — only the closing </s> (never fed) goes into
+    # the next turn's pending suffix.  Re-appending the answer would make
+    # every later turn see it twice.
     eos = getattr(tokenizer, "eos_token", "</s>")
     eos_ids = tokenizer(eos).input_ids
     bos = getattr(tokenizer, "bos_token_id", None)
     if bos is not None and eos_ids and eos_ids[0] == bos:
         eos_ids = eos_ids[1:]
-    new_pending = tokens + eos_ids
-    return text, tokens, new_pending, cache
+    return text, tokens, list(eos_ids), cache
 
 
 class StreamSession:
@@ -511,25 +574,10 @@ class StreamSession:
             span = [max(cur_clamped - 1, 0)]
         self.interval_ids.append(cur)
 
-        # KV-capacity guard: when the turn won't fit, drop the cache and
-        # carry the dialogue as text (the reference's past_review_caption
-        # mechanism, videollama2_mistral.py:375-378) — recent turns only.
-        needed = len(self.pending_ids) + len(span) + 32 + self.max_new_tokens
-        if int(self.cache.length[0]) + needed > eng.kv_capacity:
-            # history must also fit the largest prefill bucket alongside the
-            # span + the fresh turn scaffold
-            keep = min(
-                eng.kv_capacity // 2,
-                max(eng.buckets) - len(span) - len(self.pending_ids) - 40,
-            )
-            history: list = []
-            for turn in self.turns[::-1]:
-                ids = self._encode_tail(f" {turn} </s>")
-                if len(history) + len(ids) > keep:
-                    break
-                history = ids + history
-            self.cache = eng.new_kv_cache()
-            self.pending_ids = history + self.pending_ids
+        self.pending_ids, self.cache = ensure_turn_capacity(
+            eng, self.tokenizer, self.pending_ids, self.turns, self.cache,
+            len(span), self.max_new_tokens,
+        )
 
         text, tokens, self.pending_ids, self.cache = run_cognition_turn(
             eng, self.tokenizer, self.state.memory, span, self.pending_ids,
@@ -540,10 +588,3 @@ class StreamSession:
             last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames))
         )
         return text
-
-    def _encode_tail(self, text: str):
-        ids = self.tokenizer(text).input_ids
-        bos = getattr(self.tokenizer, "bos_token_id", None)
-        if bos is not None and ids and ids[0] == bos:
-            ids = ids[1:]
-        return ids

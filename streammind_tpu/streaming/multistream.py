@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import StreamMindEngine, run_cognition_turn
+from .engine import StreamMindEngine, ensure_turn_capacity, run_cognition_turn
 from .state import init_multistream_state
 
 
@@ -143,6 +143,10 @@ class MultiStreamServer:
         span = list(range(start, cur)) or [max(cur - 1, 0)]
         slot.interval_ids.append(slot.frame_idx)
 
+        slot.pending_ids, slot.cache = ensure_turn_capacity(
+            self.engine, slot.tokenizer, slot.pending_ids, slot.turns,
+            slot.cache, len(span), slot.max_new_tokens,
+        )
         memory_row = self.state.memory[i : i + 1]
         text, tokens, slot.pending_ids, slot.cache = run_cognition_turn(
             self.engine, slot.tokenizer, memory_row, span, slot.pending_ids,

@@ -18,9 +18,11 @@ import numpy as np
 
 def torch_linear_init(key, out_features: int, in_features: int, bias: bool = True,
                       dtype=jnp.float32):
-    """torch.nn.Linear default: kaiming-uniform weights, uniform bias."""
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) weights → bound
+    = gain*sqrt(3/fan_in) with gain = sqrt(2/(1+5)) = 1/sqrt(3), i.e. the
+    bound is exactly sqrt(1/fan_in); uniform bias with the same bound."""
     wkey, bkey = jax.random.split(key)
-    bound_w = math.sqrt(1.0 / in_features) * math.sqrt(3.0)  # kaiming a=sqrt(5)
+    bound_w = math.sqrt(1.0 / in_features)
     w = jax.random.uniform(wkey, (out_features, in_features), dtype,
                            minval=-bound_w, maxval=bound_w)
     out = {"weight": w}

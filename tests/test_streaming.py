@@ -291,3 +291,37 @@ def test_beam_generate(setup, rng):
     assert scores == sorted(scores, reverse=True)
     # greedy sequence must appear among beam candidates' prefixes or beat it
     assert any(seq[: len(greedy)] == greedy or len(seq) > 0 for seq, _ in beams4)
+
+
+def test_no_double_feed_across_turns(setup, rng):
+    """Regression: generated tokens are already in the KV cache; the next
+    turn must only append the </s> + new scaffold, never the answer again."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from sp_like_tokenizer import SPLikeTokenizer
+    from streammind_tpu.mm_utils import tokenizer_multimodal_token
+
+    cfg, params, engine = setup
+    tok = SPLikeTokenizer()
+    s = StreamSession(engine, tok, prompt_ids=[1, 10, 11, -201, 12],
+                      gate_threshold=-1.0, max_new_tokens=4)
+    frame = lambda: jnp.asarray(rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+
+    s.process_frame(frame())
+    len_after_1 = int(s.cache.length[0])
+    # pending after turn 1 must be exactly [eos], not the generated tokens
+    assert s.pending_ids == [tok.eos_token_id], s.pending_ids
+
+    s.process_frame(frame())
+    len_after_2 = int(s.cache.length[0])
+    gen2 = len(s.turns[1].split())
+    scaffold = len(
+        tokenizer_multimodal_token("[INST] <video>\n [/INST]", tok, -201)
+    ) - 1 - 1  # minus bos, minus the <video> slot itself
+    # growth: eos + scaffold tokens + span(1 memory token) + gen2 tokens
+    expected_growth = 1 + scaffold + 1 + gen2
+    assert len_after_2 - len_after_1 == expected_growth, (
+        len_after_1, len_after_2, gen2, scaffold
+    )
