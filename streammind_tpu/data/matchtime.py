@@ -64,8 +64,10 @@ def parse_labels_caption(json_path: str, half: int) -> Tuple[List[int], List[str
         minutes, seconds = map(int, clock.split(":"))
         ts.append(minutes * 60 + seconds)
         caps.append(ann.get("anonymized", ""))
-    # annotations come newest-first; reverse to ascending
-    return ts[::-1], caps[::-1]
+    # annotation order is not guaranteed across MatchTime/SoccerNet exports
+    # (typically newest-first); sort to ascending timestamps explicitly
+    order = sorted(range(len(ts)), key=lambda i: ts[i])
+    return [ts[i] for i in order], [caps[i] for i in order]
 
 
 def insert_silence_samples(
@@ -84,6 +86,9 @@ def insert_silence_samples(
     out_cap: List[str] = []
     for i, ts in enumerate(timestamps):
         if i == 0:
+            # reference parity (train_new_stream_1221.py:913-918): the first
+            # caption's window start equals its own timestamp, so the sample
+            # is skipped by the zero-length-window check at load time
             out_ts.append(ts)
             out_start.append(ts)
             out_cap.append(captions[i])

@@ -101,6 +101,11 @@ def build_splice_plan(
     mem_base = 0
     for pos, tok in enumerate(ids):
         if tok == modal_token_index:
+            if span_i >= len(span_lengths):
+                raise ValueError(
+                    f"prompt has more modal slots than the {len(span_lengths)} "
+                    "span(s) provided"
+                )
             n = span_lengths[span_i]
             for j in range(n):
                 out_ids.append(0)

@@ -54,6 +54,9 @@ class ModelWorker:
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.limit = limit_model_concurrency
         self._active = 0
+        self._waiting = 0
+        self._sessions = {}
+        self._sessions_lock = threading.Lock()
 
         if model is None:
             from ..api import model_init
@@ -99,7 +102,8 @@ class ModelWorker:
                 logger.error(f"heart beat error: {e}")
 
     def get_queue_length(self) -> int:
-        return self.limit - self.semaphore._value + self._active * 0
+        # in-flight (holding the semaphore) + blocked waiting for it
+        return (self.limit - self.semaphore._value) + self._waiting
 
     def get_status(self) -> dict:
         return {
@@ -119,6 +123,21 @@ class ModelWorker:
             return self.processor(params["video_path"])
         if "video" in params:
             return np.asarray(params["video"], np.float32)
+        if "images" in params:
+            # reference worker protocol: a list of base64 images / arrays
+            from io import BytesIO
+            from PIL import Image
+
+            from ..mm_utils import clip_preprocess
+
+            frames = []
+            for img in params["images"]:
+                if isinstance(img, str):
+                    frames.append(Image.open(BytesIO(base64.b64decode(img))))
+                else:
+                    frames.append(Image.fromarray(np.asarray(img, np.uint8)))
+            size = self.model.cfg.vision.image_size
+            return clip_preprocess(frames, image_size=size)
         return None
 
     def generate_stream(self, params: dict):
@@ -198,9 +217,6 @@ class ModelWorker:
             )
         from ..streaming.engine import StreamSession
 
-        if not hasattr(self, "_sessions"):
-            self._sessions = {}
-            self._sessions_lock = threading.Lock()
         session = StreamSession(
             self.model.engine, self.tokenizer, prompt_ids=prompt_ids,
             max_new_tokens=int(params.get("max_new_tokens", 128)),
@@ -250,7 +266,9 @@ class ModelWorker:
 
     def generate_stream_gate(self, params: dict):
         try:
+            self._waiting += 1
             with self.semaphore:
+                self._waiting -= 1
                 self._active += 1
                 try:
                     yield from self.generate_stream(params)

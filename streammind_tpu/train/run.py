@@ -80,9 +80,19 @@ def _stage_of(model_args: ModelArguments, data_args: DataArguments) -> str:
     return "llm"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_vit(cfg_vision):
+    return jax.jit(lambda p, px: vit_forward(p, cfg_vision, px))
+
+
 def _encode_frames_frozen(params, cfg, pixels):
-    """Frozen ViT feature extraction (no grad; outside the loss)."""
-    feats = vit_forward(params["vision"], cfg.vision, pixels)
+    """Frozen ViT feature extraction (no grad; outside the loss).  Jitted —
+    frames are bucketed upstream so this compiles once per bucket size
+    instead of dispatching every ViT op from Python each step."""
+    feats = _jitted_vit(cfg.vision)(params["vision"], pixels)
     return feats[None]
 
 
@@ -200,6 +210,22 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         params = init_streammind_params(
             jax.random.PRNGKey(training_args.seed), cfg, dtype
         )
+    if model_args.pretrain_mm_mlp_adapter:
+        # load a pre-trained projector (mm_projector.bin, torch naming) —
+        # the torch format exists only for the mamba projector
+        if cfg.mm_projector_type != "mamba":
+            raise ValueError(
+                "--pretrain-mm-mlp-adapter expects mm_projector_type='mamba' "
+                f"(got {cfg.mm_projector_type!r}); other projector types load "
+                "from framework checkpoints (checkpoint-N dirs) instead"
+            )
+        from ..utils.convert import convert_projector, load_state_dict
+
+        loaded_proj = convert_projector(
+            load_state_dict(model_args.pretrain_mm_mlp_adapter), cfg, dtype
+        )
+        params["projector"].update(loaded_proj)
+        logger.info(f"loaded projector from {model_args.pretrain_mm_mlp_adapter}")
     if model_args.train_skip_cls:
         params = copy_decoder_layers_into_gate(params, cfg)
 
@@ -267,7 +293,19 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             latest = latest_checkpoint(training_args.output_dir)
             if latest:
                 loaded, _, meta = load_checkpoint(latest)
-                if not meta.get("adapter_only"):
+                if meta.get("adapter_only"):
+                    # adapter checkpoints carry only the projector subtree;
+                    # restore it (and the step) so stage-2/adapter runs resume
+                    new_params = dict(state.params)
+                    new_params["projector"] = shard_params(
+                        {"projector": loaded["projector"]}, mesh
+                    )["projector"]
+                    state = state._replace(
+                        params=new_params, step=jnp.int32(meta["step"])
+                    )
+                    start_step = meta["step"]
+                    logger.info(f"resumed adapter from {latest} (fresh optimizer state)")
+                else:
                     restored_opt = load_opt_state(latest, state.opt_state)
                     state = state._replace(
                         params=shard_params(loaded, mesh),

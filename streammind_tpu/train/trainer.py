@@ -117,7 +117,7 @@ def cosine_schedule(peak_lr: float, total_steps: int, warmup_ratio: float = 0.03
         init_value=0.0,
         peak_value=peak_lr,
         warmup_steps=warmup,
-        decay_steps=total_steps,
+        decay_steps=max(total_steps, warmup + 1),  # cosine needs ≥1 decay step
         end_value=0.0,
     )
 

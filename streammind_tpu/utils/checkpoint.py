@@ -38,20 +38,24 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     return out
 
 
-def _unflatten(flat: Dict[str, np.ndarray], list_paths) -> Any:
+def _unflatten(flat: Dict[str, np.ndarray], list_paths, dtypes=None) -> Any:
     root: Dict = {}
     for path, value in flat.items():
         keys = path.split("/")
         node = root
         for k in keys[:-1]:
             node = node.setdefault(k, {})
-        node[keys[-1]] = value
+        node[keys[-1]] = (path, value)
     def fix(node, path=""):
         if isinstance(node, dict):
             if path in list_paths:
                 return [fix(node[str(i)], f"{path}/{i}") for i in range(len(node))]
             return {k: fix(v, f"{path}/{k}" if path else k) for k, v in node.items()}
-        return jnp.asarray(node)
+        leaf_path, value = node
+        arr = jnp.asarray(value)
+        if dtypes and leaf_path in dtypes:
+            arr = arr.astype(dtypes[leaf_path])
+        return arr
     return fix(root)
 
 
@@ -67,14 +71,28 @@ def _list_paths(tree, prefix="") -> list:
     return paths
 
 
+def _np_storable(v: np.ndarray):
+    """np.savez silently stores bfloat16 as opaque void bytes that can never
+    be read back; upcast to fp32 on disk and record the true dtype."""
+    if str(v.dtype) == "bfloat16":
+        return np.asarray(v, np.float32), "bfloat16"
+    return v, str(v.dtype)
+
+
 def save_tree(path: str, tree, name: str = "params") -> None:
     os.makedirs(path, exist_ok=True)
     flat = _flatten(tree)
-    np.savez(os.path.join(path, f"{name}.npz"), **flat)
+    stored = {}
+    dtypes = {}
+    for k, v in flat.items():
+        arr, true_dtype = _np_storable(v)
+        stored[k] = arr
+        dtypes[k] = true_dtype
+    np.savez(os.path.join(path, f"{name}.npz"), **stored)
     manifest = {
         "name": name,
         "list_paths": _list_paths(tree),
-        "leaves": {k: [list(v.shape), str(v.dtype)] for k, v in flat.items()},
+        "leaves": {k: [list(v.shape), dtypes[k]] for k, v in flat.items()},
     }
     with open(os.path.join(path, f"{name}.json"), "w") as f:
         json.dump(manifest, f)
@@ -85,7 +103,8 @@ def load_tree(path: str, name: str = "params"):
         manifest = json.load(f)
     data = np.load(os.path.join(path, f"{name}.npz"))
     flat = {k: data[k] for k in data.files}
-    return _unflatten(flat, set(manifest["list_paths"]))
+    dtypes = {k: spec[1] for k, spec in manifest["leaves"].items()}
+    return _unflatten(flat, set(manifest["list_paths"]), dtypes)
 
 
 def save_checkpoint(
@@ -154,11 +173,15 @@ def load_checkpoint(path: str) -> Tuple[Any, Optional[Any], Dict]:
 # a flat leaf list; restored into a freshly init'd state's treedef.
 # ---------------------------------------------------------------------------
 def save_opt_state(path: str, opt_state) -> None:
-    leaves = jax.tree_util.tree_leaves(opt_state)
-    np.savez(
-        os.path.join(path, "opt_state.npz"),
-        **{f"l{i}": np.asarray(v) for i, v in enumerate(leaves)},
-    )
+    leaves = [np.asarray(v) for v in jax.tree_util.tree_leaves(opt_state)]
+    stored, dtypes = {}, []
+    for i, v in enumerate(leaves):
+        arr, true_dtype = _np_storable(v)
+        stored[f"l{i}"] = arr
+        dtypes.append(true_dtype)
+    np.savez(os.path.join(path, "opt_state.npz"), **stored)
+    with open(os.path.join(path, "opt_state_dtypes.json"), "w") as f:
+        json.dump(dtypes, f)
 
 
 def load_opt_state(path: str, template_opt_state):
@@ -167,7 +190,17 @@ def load_opt_state(path: str, template_opt_state):
     if not os.path.exists(f):
         return None
     data = np.load(f)
-    leaves = [jnp.asarray(data[f"l{i}"]) for i in range(len(data.files))]
+    dtypes = None
+    dpath = os.path.join(path, "opt_state_dtypes.json")
+    if os.path.exists(dpath):
+        with open(dpath) as g:
+            dtypes = json.load(g)
+    leaves = []
+    for i in range(len(data.files)):
+        arr = jnp.asarray(data[f"l{i}"])
+        if dtypes:
+            arr = arr.astype(dtypes[i])
+        leaves.append(arr)
     treedef = jax.tree_util.tree_structure(template_opt_state)
     if treedef.num_leaves != len(leaves):
         return None  # optimizer config changed; start fresh

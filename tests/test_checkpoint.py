@@ -72,3 +72,31 @@ def test_mm_projector_torch_interop(tmp_path):
     assert "cls_net.cls_model.model.layers.0.self_attn.q_proj.weight" in sd
     back = convert_projector(sd, cfg)
     _tree_equal(params["projector"], back)
+
+
+def test_bf16_roundtrip(tmp_path):
+    """Regression: np.savez silently stores bfloat16 as void bytes; the
+    store must upcast + restore the true dtype (bf16 is the train default)."""
+    tree = {"w": jnp.ones((4, 4), jnp.bfloat16) * 1.5,
+            "b": jnp.arange(3, dtype=jnp.float32)}
+    save_tree(str(tmp_path), tree)
+    loaded = load_tree(str(tmp_path))
+    assert loaded["w"].dtype == jnp.bfloat16
+    assert loaded["b"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(loaded["w"], np.float32),
+                                  np.asarray(tree["w"], np.float32))
+
+
+def test_opt_state_roundtrip_bf16(tmp_path):
+    import optax
+
+    params = {"a": jnp.ones((3,), jnp.bfloat16)}
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+    from streammind_tpu.utils.checkpoint import load_opt_state, save_opt_state
+
+    save_opt_state(str(tmp_path), st)
+    restored = load_opt_state(str(tmp_path), opt.init(params))
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype

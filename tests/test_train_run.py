@@ -156,3 +156,25 @@ def test_train_sft_mixed_media_and_text(tmp_path, cfg):
     log = os.path.join(str(tmp_path / "out"), "logs", "metrics.jsonl")
     losses = [_json.loads(l)["train/loss"] for l in open(log)]
     assert all(np.isfinite(losses)), losses
+
+
+def test_pretrain_adapter_loading(tmp_path, cfg):
+    """--pretrain-mm-mlp-adapter loads a torch-format mm_projector.bin."""
+    from streammind_tpu.utils.checkpoint import save_mm_projector_bin
+
+    src_params = init_streammind_params(jax.random.PRNGKey(7), cfg)
+    bin_path = str(tmp_path / "mm_projector.bin")
+    save_mm_projector_bin(src_params["projector"], bin_path)
+
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg, n=2)
+    ma = ModelArguments(pretrain_mm_mlp_adapter=bin_path)
+    da = DataArguments(score_dataset_train_cls=True)
+    ta = TrainingArguments(output_dir=str(tmp_path / "out"), bf16=False,
+                           max_steps=1, save_steps=10, resume=False)
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    # pre_net is frozen in cls stage → must equal the loaded adapter exactly
+    np.testing.assert_array_equal(
+        np.asarray(state.params["projector"]["pre_net"]["weight"]),
+        np.asarray(src_params["projector"]["pre_net"]["weight"]),
+    )
