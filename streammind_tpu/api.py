@@ -71,12 +71,24 @@ def model_init(
         cfg = _load_config(model_path) if model_path else StreamMindConfig()
 
     if params is None:
-        if model_path and os.path.isdir(model_path):
+        if model_path:
+            if not os.path.isdir(model_path):
+                raise FileNotFoundError(
+                    f"model_path {model_path!r} is not a local checkpoint "
+                    "directory — refusing to silently fall back to random "
+                    "weights; pass params=/cfg= explicitly for scratch models"
+                )
             from .utils.convert import convert_streammind_checkpoint
 
             params = convert_streammind_checkpoint(model_path, cfg, dtype)
             missing = {"vision", "projector", "text"} - set(params)
             if missing:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {model_path} lacks {sorted(missing)}; those "
+                    "components are randomly initialized"
+                )
                 init = init_streammind_params(jax.random.PRNGKey(seed), cfg, dtype)
                 for k in missing:
                     params[k] = init[k]
@@ -107,6 +119,31 @@ def model_init(
     return model, processor, tokenizer, version
 
 
+def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
+                              tokenizer, version: str):
+    """Shared front half of infer/infer_beams: prompt → splice plan +
+    memory ring buffer (keeps the 600-frame cap / bucket / sizing logic in
+    one place)."""
+    cfg, engine = model.cfg, model.engine
+    modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
+    conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
+    conv.append_message(conv.roles[0], DEFAULT_MMODAL_TOKEN["VIDEO"] + "\n" + instruct)
+    conv.append_message(conv.roles[1], None)
+    input_ids = tokenizer_multimodal_token(conv.get_prompt(), tokenizer, modal_index)
+
+    pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
+    feats = encode_frames(model.params, cfg, pixels)
+    memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
+    T = memory.shape[1]
+    plan = build_splice_plan(
+        input_ids, [T], modal_index,
+        bucket_length(len(input_ids) - 1 + T, engine.buckets),
+    )
+    mem_buf = jnp.zeros((1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype)
+    mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
+    return plan, mem_buf
+
+
 def infer(
     model: StreamMindModel,
     video,
@@ -119,33 +156,10 @@ def infer(
 ):
     """Offline video QA: encode all frames → Mamba memory tokens → splice →
     prefill + decode.  video: (T, 3, H, W) array of CLIP pixel values."""
-    cfg, engine = model.cfg, model.engine
+    engine = model.engine
+    plan, mem_buf = _prepare_cognition_inputs(model, video, instruct, tokenizer, version)
 
-    modal_token = DEFAULT_MMODAL_TOKEN["VIDEO"]
-    modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
-    conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
-    conv.append_message(conv.roles[0], modal_token + "\n" + instruct)
-    conv.append_message(conv.roles[1], None)
-    prompt = conv.get_prompt()
-    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_index)
-
-    pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
-    feats = encode_frames(model.params, cfg, pixels)
-    memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
-    T = memory.shape[1]
-
-    n_spliced = len(input_ids) - 1 + T
-    bucket = bucket_length(n_spliced, engine.buckets)
-    plan = build_splice_plan(input_ids, [T], modal_index, bucket)
-
-    # pad memory into a bucket-stable buffer so one compiled prefill serves
-    # every video length up to max_stream_frames
-    mem_buf = jnp.zeros(
-        (1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype
-    )
-    mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
-
-    cache = engine.new_kv_cache(dtype=memory.dtype)
+    cache = engine.new_kv_cache(dtype=mem_buf.dtype)
     last, cache = engine.prefill(plan, mem_buf, cache)
     tokens, _ = engine.generate_from_prefill(
         last, cache, max_new_tokens=max_new_tokens,
@@ -172,29 +186,12 @@ def infer_beams(
 ):
     """Beam-search inference returning K candidate texts (the reference LTA
     eval's generate(num_beams=5, num_return_sequences=5))."""
-    cfg, engine = model.cfg, model.engine
-    modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
-    conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
-    conv.append_message(conv.roles[0], DEFAULT_MMODAL_TOKEN["VIDEO"] + "\n" + instruct)
-    conv.append_message(conv.roles[1], None)
-    input_ids = tokenizer_multimodal_token(conv.get_prompt(), tokenizer, modal_index)
-
-    pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
-    feats = encode_frames(model.params, cfg, pixels)
-    from .models import projector as proj_mod2
-
-    memory, _ = proj_mod2.mamba_project(model.params["projector"], cfg, feats)
-    T = memory.shape[1]
-    plan = build_splice_plan(
-        input_ids, [T], modal_index,
-        bucket_length(len(input_ids) - 1 + T, engine.buckets),
-    )
-    mem_buf = jnp.zeros((1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype)
-    mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
+    engine = model.engine
+    plan, mem_buf = _prepare_cognition_inputs(model, video, instruct, tokenizer, version)
     beams = engine.beam_generate(
         plan, mem_buf, num_beams=num_beams,
         num_return_sequences=num_return_sequences,
-        max_new_tokens=max_new_tokens, kv_dtype=memory.dtype,
+        max_new_tokens=max_new_tokens, kv_dtype=mem_buf.dtype,
     )
     out = []
     for tokens, _score in beams:

@@ -199,6 +199,11 @@ class Ego4dNarrationDataset:
 
 
 def collate_ego4d_batch(instances: Sequence[Dict]) -> Dict:
+    if len(instances) != 1:
+        raise ValueError(
+            "ego4d streaming samples are whole-video dialogues; batch_size "
+            f"must be 1 (got {len(instances)})"
+        )
     inst = instances[0]
     return {
         "timestamp": inst["timestamp"],

@@ -47,10 +47,12 @@ def extract_video_features(
     from ..mm_utils import clip_preprocess, frames_to_pil, read_video_frames, video_metadata
 
     written = []
+    vr = None
     if available():
         vr = NativeVideoReader(video_path)
         duration = vr.num_frames
-        read = lambda ids: vr.read(ids, size=size)  # noqa: E731
+        # frame-count metadata can overestimate on mkv; accept short tails
+        read = lambda ids: vr.read(ids, size=size, strict=False)  # noqa: E731
     else:
         duration, _ = video_metadata(video_path)
         read = lambda ids: clip_preprocess(  # noqa: E731
@@ -67,6 +69,8 @@ def extract_video_features(
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         np.savez_compressed(out_path, features=feats)
         written.append(out_path)
+    if vr is not None:
+        vr.close()
     return written
 
 

@@ -227,6 +227,8 @@ class MatchTimeDataset:
 def collate_score_batch(instances: Sequence[Dict]) -> Dict:
     """Batch-of-1 passthrough collator with the reference's control fields
     (DataCollatorForScoreDataset, train_new_stream_1221.py:1112-1130)."""
+    if len(instances) != 1:
+        raise ValueError(f"score samples require batch_size 1 (got {len(instances)})")
     inst = instances[0]
     return {
         "timestamp": inst["timestamp"],

@@ -77,9 +77,19 @@ def _init_conv(key, out_c, in_c, k, dtype=jnp.float32):
     return normal_init(key, (out_c, in_c, k, k), std=std, dtype=dtype)
 
 
+def _group_count(out_c: int) -> int:
+    """Largest divisor of out_c not exceeding out_c // GROUP_WIDTH (timm
+    rounds widths; arbitrary widths here must still divide evenly or the
+    grouped conv is ill-formed)."""
+    g = max(out_c // _GROUP_WIDTH, 1)
+    while g > 1 and out_c % g != 0:
+        g -= 1
+    return g
+
+
 def init_reg_block(key, in_c, out_c, dtype=jnp.float32):
     ks = jax.random.split(key, 6)
-    groups = max(out_c // _GROUP_WIDTH, 1)
+    groups = _group_count(out_c)
     se_c = max(int(in_c * _SE_RATIO), 8)
     p = {
         "conv1": _init_conv(ks[0], out_c, in_c, 1, dtype),
@@ -138,13 +148,14 @@ def init_stc_connector(
     key, cfg: StreamMindConfig, depth=4, mlp_depth=2,
     downsample=(2, 2, 2), variant="stc", dtype=jnp.float32,
 ):
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 4 + mlp_depth)
     enc, hid = cfg.mm_hidden_size, cfg.text.hidden_size
     p = {
         "s1": init_reg_stage(ks[0], depth, enc, hid, dtype),
         "s2": init_reg_stage(ks[1], depth, hid, hid, dtype),
         "readout": [torch_linear_init(ks[2], hid, hid, dtype=dtype)]
-        + [torch_linear_init(ks[3], hid, hid, dtype=dtype) for _ in range(mlp_depth - 1)],
+        + [torch_linear_init(ks[4 + i], hid, hid, dtype=dtype)
+           for i in range(mlp_depth - 1)],
     }
     if variant in ("stc", "stc_v35"):
         dt, dh, dw = downsample

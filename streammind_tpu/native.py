@@ -17,12 +17,15 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libsm_ingest.so")
 _lib = None
+_load_failed = False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:  # remember failures: don't re-spawn make per call
+        return None
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -30,10 +33,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 capture_output=True, timeout=120,
             )
         except Exception:  # noqa: BLE001
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.sm_open.restype = ctypes.c_void_p
     lib.sm_open.argtypes = [ctypes.c_char_p]
@@ -90,8 +95,14 @@ class NativeVideoReader:
         self.width, self.height = int(w.value), int(h.value)
 
     def read(self, indices: Sequence[int], size: int = 336,
-             pad_square: bool = True) -> np.ndarray:
-        idx = np.asarray(sorted(int(i) for i in indices), np.int64)
+             pad_square: bool = True, strict: bool = True) -> np.ndarray:
+        """Decode the requested frames, returned in the REQUESTED order
+        (the decoder visits them ascending internally).  strict=True raises
+        when the container yields fewer frames than asked (corrupt tail)
+        instead of silently returning a short batch."""
+        req = [int(i) for i in indices]
+        order = np.argsort(req, kind="stable")
+        idx = np.asarray([req[i] for i in order], np.int64)
         out = np.empty((len(idx), 3, size, size), np.float32)
         n = self._lib.sm_read_frames(
             self._h,
@@ -101,7 +112,19 @@ class NativeVideoReader:
         )
         if n < 0:
             raise IOError("native frame read failed")
-        return out[:n]
+        if n < len(idx):
+            if strict:
+                raise IOError(
+                    f"short read: requested {len(idx)} frames, decoded {n} "
+                    f"(frame count metadata may overestimate; pass strict=False "
+                    f"to accept)"
+                )
+            out = out[:n]
+            order = order[:n]
+        # undo the ascending sort → original request order
+        unsort = np.empty_like(order)
+        unsort[order] = np.arange(len(order))
+        return out[unsort[: len(out)]] if n == len(idx) else out
 
     def close(self):
         if self._h:
@@ -143,4 +166,10 @@ def native_process_video(
 
     with NativeVideoReader(video_path) as vr:
         ids = frame_sample(vr.num_frames, sample_scheme, num_frames, vr.fps)
-        return vr.read(ids, size=size, pad_square=pad_square)
+        out = vr.read(ids, size=size, pad_square=pad_square, strict=False)
+        if 0 < len(out) < len(ids):
+            # container frame-count metadata overestimated (common for mkv):
+            # repeat the last decoded frame to keep the (num_frames, …) contract
+            pad = np.repeat(out[-1:], len(ids) - len(out), axis=0)
+            out = np.concatenate([out, pad], axis=0)
+        return out

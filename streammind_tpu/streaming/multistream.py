@@ -43,13 +43,19 @@ class MultiStreamServer:
         self.state = init_multistream_state(engine.cfg, capacity)
         self.slots: List[Optional[_Slot]] = [None] * capacity
         size = engine.cfg.vision.image_size
-        self._zero_frame = jnp.zeros((1, 3, size, size), jnp.float32)
+        # match the engine's weight dtype: a float32 filler would promote the
+        # whole concatenated batch and silently run the hot ViT in fp32
+        wt = jax.tree_util.tree_leaves(engine.params["vision"])[0].dtype
+        self._pixel_dtype = wt if wt in (jnp.bfloat16, jnp.float32) else jnp.float32
+        self._zero_frame = jnp.zeros((1, 3, size, size), self._pixel_dtype)
 
     # -- lifecycle ---------------------------------------------------------
     def add_stream(
         self, stream_id: str, tokenizer, prompt_ids: Optional[list] = None,
         max_new_tokens: int = 128, gate_threshold: Optional[float] = None,
     ) -> int:
+        if any(s is not None and s.stream_id == stream_id for s in self.slots):
+            raise ValueError(f"stream id {stream_id!r} is already attached")
         for i, s in enumerate(self.slots):
             if s is None:
                 self.slots[i] = _Slot(
@@ -105,9 +111,9 @@ class MultiStreamServer:
         for i in range(self.capacity):
             slot = self.slots[i]
             if slot is not None and slot.stream_id in frames:
-                batch.append(jnp.asarray(frames[slot.stream_id]).reshape(
-                    1, *self._zero_frame.shape[1:]
-                ))
+                batch.append(jnp.asarray(
+                    frames[slot.stream_id], self._pixel_dtype
+                ).reshape(1, *self._zero_frame.shape[1:]))
                 fed.append(i)
             else:
                 batch.append(self._zero_frame)
