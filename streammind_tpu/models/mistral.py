@@ -202,6 +202,7 @@ def text_forward(
     attn_impl: str = "auto",
     return_hidden: bool = False,
     remat: bool = False,
+    sequence_axis: Optional[str] = None,
 ):
     """Full forward over a token block.
 
@@ -251,6 +252,22 @@ def text_forward(
             y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
             h = h + _mlp(y, lp, cfg)
             return h, None
+
+        if sequence_axis is not None:
+            # Megatron-style sequence parallelism as a sharding annotation:
+            # activations between blocks live sequence-sharded on the given
+            # mesh axis (the reference's ParallelLinearFunc all-gather /
+            # reduce-scatter pair, tensor_parallel.py:38-41, becomes GSPMD
+            # collectives inserted around these constraints).
+            from jax.sharding import PartitionSpec as P
+
+            inner_body = body
+
+            def body(h, lp):  # noqa: F811
+                h = jax.lax.with_sharding_constraint(
+                    h, P(None, sequence_axis, None)
+                )
+                return inner_body(h, lp)
 
         if remat:
             # per-layer rematerialization: activations of each block are

@@ -60,3 +60,25 @@ def test_param_placement_is_actually_sharded():
     shard_shape = qw.sharding.shard_shape(qw.shape)
     assert shard_shape[1] == qw.shape[1] // 4
     assert shard_shape[2] == qw.shape[2] // 2
+
+
+def test_sequence_parallel_constraint(rng):
+    """sequence_axis shards inter-block activations over the tp axis; the
+    numerics must match the unsharded forward exactly."""
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (2, 16)))
+
+    base, _ = jax.jit(lambda p, i: lm.text_forward(p, cfg.text, input_ids=i))(
+        params["text"], ids
+    )
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        out, _ = jax.jit(
+            lambda p, i: lm.text_forward(
+                p, cfg.text, input_ids=i, sequence_axis="tp"
+            )
+        )(sharded["text"], jax.device_put(ids, NamedSharding(mesh, P("dp"))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4)
