@@ -43,7 +43,18 @@ class StreamMindEngine:
         prefill_buckets=DEFAULT_BUCKETS,
         kv_capacity: Optional[int] = None,
         attn_impl: str = "auto",
+        quantize_gate: bool = False,
     ):
+        if quantize_gate and "cls_net" in params.get("projector", {}):
+            # weight-only int8 on the per-frame gate LM — it is pure weight
+            # bandwidth on the perception hot path (utils/quantize.py)
+            from ..utils.quantize import quantize_gate_params
+
+            params = dict(params)
+            params["projector"] = dict(params["projector"])
+            params["projector"]["cls_net"] = quantize_gate_params(
+                params["projector"]["cls_net"]
+            )
         self.params = params
         self.cfg = cfg
         self.eos_token_id = eos_token_id

@@ -46,8 +46,17 @@ def ones(shape, dtype=jnp.float32):
 
 
 def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
-    """x @ W.T + b with (out, in)-layout weights."""
-    y = x @ p["weight"].T.astype(x.dtype)
+    """x @ W.T + b with (out, in)-layout weights.
+
+    Also accepts weight-only int8 leaves ({"w_int8", "scale"} from
+    utils.quantize): the int8→compute-dtype convert fuses into the dot's
+    operand read, halving the weight bandwidth of the serve-path gate.
+    """
+    if "w_int8" in p:
+        # (out,) scale broadcasts over all leading dims
+        y = (x @ p["w_int8"].T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["weight"].T.astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -325,3 +325,23 @@ def test_no_double_feed_across_turns(setup, rng):
     assert len_after_2 - len_after_1 == expected_growth, (
         len_after_1, len_after_2, gen2, scaffold
     )
+
+
+def test_quantized_gate_close_to_fp(setup, rng):
+    """int8 weight-only gate: probabilities stay close to full precision and
+    the decision flips on (nearly) no inputs."""
+    cfg, params, _ = setup
+    eng_fp = StreamMindEngine(params, cfg, eos_token_id=2, prefill_buckets=(32,))
+    eng_q = StreamMindEngine(params, cfg, eos_token_id=2, prefill_buckets=(32,),
+                             quantize_gate=True)
+    agree = 0
+    for i in range(8):
+        frame = jnp.asarray(rng.standard_normal(
+            (1, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+        s1 = init_stream_state(cfg)
+        s2 = init_stream_state(cfg)
+        p_fp, _ = eng_fp.perceive_step(frame, s1)
+        p_q, _ = eng_q.perceive_step(frame, s2)
+        np.testing.assert_allclose(np.asarray(p_q), np.asarray(p_fp), atol=0.08)
+        agree += int(np.argmax(np.asarray(p_q)) == np.argmax(np.asarray(p_fp)))
+    assert agree >= 7, agree
