@@ -34,8 +34,10 @@ struct Reader {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
   SwsContext* sws = nullptr;
+  int sws_w = 0, sws_h = 0;  // geometry the cached context was built for
   int stream_idx = -1;
   int64_t next_frame = 0;  // next frame number the decoder will emit
+  bool eof_sent = false;   // drain packet already sent to the decoder
   double fps = 0.0;
   int64_t nframes = 0;
   int width = 0, height = 0;
@@ -133,11 +135,15 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
   auto* r = static_cast<Reader*>(h);
   if (!r || n <= 0) return -1;
 
-  // Seek back to start if the first requested frame precedes the cursor.
-  if (indices[0] < r->next_frame) {
+  // Seek back to start if the first requested frame precedes the cursor or
+  // a previous call drained the decoder (EOF).  Sequential forward reads on
+  // one handle otherwise continue exactly where the last call stopped —
+  // the decoder's in-flight frames are preserved (no flush between calls).
+  if (indices[0] < r->next_frame || r->eof_sent) {
     av_seek_frame(r->fmt, r->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
     avcodec_flush_buffers(r->dec);
     r->next_frame = 0;
+    r->eof_sent = false;
   }
 
   // Letterbox geometry.
@@ -151,11 +157,16 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
       off_x = (size - dst_w) / 2;
     }
   }
-  if (!r->sws) {
+  if (!r->sws || r->sws_w != dst_w || r->sws_h != dst_h) {
+    // geometry changed between calls (different size/pad_square): a stale
+    // context would scale to the old row stride and corrupt the buffer
+    if (r->sws) sws_freeContext(r->sws);
     r->sws = sws_getContext(r->width, r->height, r->dec->pix_fmt,
                             dst_w, dst_h, AV_PIX_FMT_RGB24,
                             SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!r->sws) return -1;
+    r->sws_w = dst_w;
+    r->sws_h = dst_h;
   }
 
   std::vector<uint8_t> canvas(static_cast<size_t>(size) * size * 3);
@@ -172,7 +183,7 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
   const int hw3 = size * size * 3;
   (void)hw3;
 
-  auto emit = [&](AVFrame* f) {
+  auto emit = [&](AVFrame* f, int64_t idx) {
     uint8_t* dst_data[1] = {scaled.data()};
     int dst_linesize[1] = {dst_w * 3};
     sws_scale(r->sws, f->data, f->linesize, 0, r->height, dst_data, dst_linesize);
@@ -187,12 +198,24 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
                   scaled.data() + y * dst_w * 3,
                   static_cast<size_t>(dst_w) * 3);
     }
-    normalize_chw(canvas.data(), size, out + static_cast<size_t>(written) * 3 * size * size);
-    ++written;
-    ++want;
+    // duplicate requested indices each get their own copy
+    while (want < n && indices[want] == idx) {
+      normalize_chw(canvas.data(), size,
+                    out + static_cast<size_t>(written) * 3 * size * size);
+      ++written;
+      ++want;
+    }
   };
 
-  while (want < n && av_read_frame(r->fmt, pkt) >= 0) {
+  // First, consume any frames still buffered from the previous call's
+  // packets (sequential chunked reads share one decode stream).
+  while (want < n && avcodec_receive_frame(r->dec, frame) == 0) {
+    const int64_t idx = r->next_frame++;
+    if (idx == indices[want]) emit(frame, idx);
+    av_frame_unref(frame);
+  }
+
+  while (want < n && !r->eof_sent && av_read_frame(r->fmt, pkt) >= 0) {
     if (pkt->stream_index != r->stream_idx) {
       av_packet_unref(pkt);
       continue;
@@ -200,20 +223,22 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
     if (avcodec_send_packet(r->dec, pkt) == 0) {
       while (avcodec_receive_frame(r->dec, frame) == 0) {
         const int64_t idx = r->next_frame++;
-        if (want < n && idx == indices[want]) emit(frame);
+        if (want < n && idx == indices[want]) emit(frame, idx);
         av_frame_unref(frame);
       }
     }
     av_packet_unref(pkt);
   }
-  // drain
-  avcodec_send_packet(r->dec, nullptr);
-  while (want < n && avcodec_receive_frame(r->dec, frame) == 0) {
-    const int64_t idx = r->next_frame++;
-    if (idx == indices[want]) emit(frame);
-    av_frame_unref(frame);
+  if (want < n && !r->eof_sent) {
+    // true end of container: drain once; the next read() seeks to 0
+    avcodec_send_packet(r->dec, nullptr);
+    r->eof_sent = true;
+    while (avcodec_receive_frame(r->dec, frame) == 0) {
+      const int64_t idx = r->next_frame++;
+      if (want < n && idx == indices[want]) emit(frame, idx);
+      av_frame_unref(frame);
+    }
   }
-  avcodec_flush_buffers(r->dec);
 
   av_frame_free(&frame);
   av_packet_free(&pkt);

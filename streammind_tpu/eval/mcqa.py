@@ -15,7 +15,10 @@ def split_list(lst: Sequence, n: int) -> List[List]:
 
 
 def get_chunk(lst: Sequence, n: int, k: int) -> List:
-    return split_list(lst, n)[k]
+    """k-th of n chunks; ranks beyond the ceil-split's chunk count get an
+    empty worklist instead of an IndexError (small corpora, many ranks)."""
+    chunks = split_list(lst, n)
+    return chunks[k] if k < len(chunks) else []
 
 
 _ANSWER_PREFIXES = [

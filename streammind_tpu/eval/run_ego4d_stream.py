@@ -121,9 +121,13 @@ def main():
     cfg = model.cfg
 
     def frame_loader(video_path, start_ts, end_ts, fps=2.0):
+        """Sample the exact 1/fps grid (one frame per 0.5 s slot) so the
+        frame count equals sum(span_frames) regardless of the container's
+        real fps; out-of-range slots clamp to the last frame."""
         duration, vfps = video_metadata(video_path)
-        seg = max(int(vfps / fps), 1)
-        ids = np.arange(int(start_ts * vfps), min(int(end_ts * vfps), duration - 1), seg)
+        n = max(int(round((end_ts - start_ts) * fps)), 1)
+        times = start_ts + (np.arange(n) + 1) / fps
+        ids = np.clip(np.round(times * vfps).astype(int), 0, max(duration - 1, 0))
         return clip_preprocess(frames_to_pil(read_video_frames(video_path, ids)))
 
     ds = Ego4dNarrationDataset(
@@ -174,10 +178,15 @@ def main():
             sample = ds[i]
             feats = encode_frames(model.params, cfg, jnp.asarray(sample["video"]))
             memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
-            glogits = proj_mod.gate_logits(model.params["projector"], cfg, memory)
-            n = min(glogits.shape[1], sample["gate_labels"].shape[1])
+            # deployed conditioning: the gate sees each memory token ALONE
+            # (gate_decision_step / the training pair construction), so score
+            # tokens as a batch of independent 1-token sequences
+            glogits = proj_mod.gate_decision_step(
+                model.params["projector"], cfg, memory[0]
+            )  # (T, 2)
+            n = min(glogits.shape[0], sample["gate_labels"].shape[1])
             metrics.append(
-                eval_cls_sample(np.asarray(glogits[0, :n]), sample["gate_labels"][0, :n])
+                eval_cls_sample(np.asarray(glogits[:n]), sample["gate_labels"][0, :n])
             )
         print(json.dumps({
             k: aggregate([m[k] for m in metrics])

@@ -33,10 +33,22 @@ def stream_video_fire_times(
 ) -> List[float]:
     """Feed frames at cur_fps; return fire times in seconds."""
     from ..mm_utils import clip_preprocess, frames_to_pil, read_video_frames, video_metadata
+    from ..native import NativeVideoReader, available as native_available
 
     import jax.numpy as jnp
 
-    if frame_loader is None:
+    if frame_loader is None and native_available():
+        vr = NativeVideoReader(video_path)
+        seg = max(int(vr.fps / cur_fps), 1)
+        ids = np.arange(0, max(vr.num_frames - 1, 1), seg, dtype=int)
+
+        def frames_iter():
+            # one open container, sequential forward decode — not one
+            # open+seek per frame
+            with vr:
+                for fid in ids:
+                    yield fid / vr.fps, vr.read([int(fid)], strict=False)
+    elif frame_loader is None:
         duration, fps = video_metadata(video_path)
         seg = max(int(fps / cur_fps), 1)
         ids = np.arange(0, duration - 1, seg, dtype=int)

@@ -173,8 +173,10 @@ def read_video_frames(video_path: str, frame_ids: Sequence[int]) -> np.ndarray:
 
         reader = imageio.get_reader(video_path)
         wanted = set(int(i) for i in frame_ids)
-        frames = [np.asarray(f)[..., :3] for i, f in enumerate(reader) if i in wanted]
-        return np.stack(frames)
+        by_id = {i: np.asarray(f)[..., :3] for i, f in enumerate(reader) if i in wanted}
+        # honor duplicates and request order (uniform sampling of short clips
+        # repeats ids; a set-only collapse would return a short stack)
+        return np.stack([by_id[int(i)] for i in frame_ids])
     try:
         from decord import VideoReader, cpu  # type: ignore
 

@@ -167,16 +167,13 @@ class Controller:
                 headers={"Content-Type": "application/json"},
             )
             with urllib.request.urlopen(req, timeout=120) as resp:
-                buf = b""
+                # verbatim relay: framing (\0 delimiters) passes through, so
+                # chunked reads suffice — no per-byte loop
                 while True:
-                    chunk = resp.read(1)
+                    chunk = resp.read(4096)
                     if not chunk:
                         break
-                    if chunk == b"\0":
-                        yield buf + b"\0"
-                        buf = b""
-                    else:
-                        buf += chunk
+                    yield chunk
         except Exception:  # noqa: BLE001
             self.remove_worker(addr)
             yield json.dumps(

@@ -23,14 +23,14 @@ _PAGE = """<!DOCTYPE html>
  body { font-family: sans-serif; max-width: 760px; margin: 2em auto; }
  #log { border: 1px solid #ccc; padding: 1em; min-height: 280px; white-space: pre-wrap; }
  textarea, input, select, button { font-size: 1em; margin: 0.2em 0; }
- textarea { width: 100%%; height: 4em; }
+ textarea { width: 100%; height: 4em; }
 </style></head>
 <body>
 <h2>StreamMind-TPU</h2>
 <div>model: <select id="model"></select>
  temperature <input id="temp" type="number" value="0.2" step="0.1" style="width:4em">
  max tokens <input id="maxtok" type="number" value="256" style="width:5em"></div>
-<div>video path (server-side): <input id="video" style="width:60%%"></div>
+<div>video path (server-side): <input id="video" style="width:60%"></div>
 <div id="log"></div>
 <textarea id="msg" placeholder="Ask about the video..."></textarea>
 <button onclick="send()">Send</button>
