@@ -120,15 +120,19 @@ def model_init(
 
 
 def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
-                              tokenizer, version: str):
+                              tokenizer, version: str, history=None):
     """Shared front half of infer/infer_beams: prompt → splice plan +
     memory ring buffer (keeps the 600-frame cap / bucket / sizing logic in
-    one place)."""
+    one place).  history: [(user, assistant), ...] prior turns; the <video>
+    token is attached to the FIRST user turn only."""
     cfg, engine = model.cfg, model.engine
     modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
     conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
-    conv.append_message(conv.roles[0], DEFAULT_MMODAL_TOKEN["VIDEO"] + "\n" + instruct)
-    conv.append_message(conv.roles[1], None)
+    turns = list(history or []) + [(instruct, None)]
+    for i, (user, assistant) in enumerate(turns):
+        text = (DEFAULT_MMODAL_TOKEN["VIDEO"] + "\n" + user) if i == 0 else user
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], assistant)
     input_ids = tokenizer_multimodal_token(conv.get_prompt(), tokenizer, modal_index)
 
     pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
@@ -153,17 +157,24 @@ def infer(
     version: str = "llama_2",
     max_new_tokens: int = 1024,
     seed: int = 0,
+    temperature: Optional[float] = None,
+    history=None,
 ):
     """Offline video QA: encode all frames → Mamba memory tokens → splice →
-    prefill + decode.  video: (T, 3, H, W) array of CLIP pixel values."""
+    prefill + decode.  video: (T, 3, H, W) array of CLIP pixel values.
+    history: prior (user, assistant) turns for multi-turn chat."""
     engine = model.engine
-    plan, mem_buf = _prepare_cognition_inputs(model, video, instruct, tokenizer, version)
+    plan, mem_buf = _prepare_cognition_inputs(
+        model, video, instruct, tokenizer, version, history=history
+    )
 
+    if temperature is None:
+        temperature = 0.2 if do_sample else 0.0
     cache = engine.new_kv_cache(dtype=mem_buf.dtype)
     last, cache = engine.prefill(plan, mem_buf, cache)
     tokens, _ = engine.generate_from_prefill(
         last, cache, max_new_tokens=max_new_tokens,
-        temperature=0.2 if do_sample else 0.0,
+        temperature=temperature,
         rng_key=jax.random.PRNGKey(seed),
     )
     if not hasattr(tokenizer, "decode"):

@@ -59,22 +59,75 @@ _SYSTEM_PROMPTS = {
 }
 
 
-def build_judge_messages(question: str, answer: str, pred: str,
-                         dimension: str = "generic") -> List[Dict]:
-    user = (
-        "Please evaluate the following video-based question-answer pair:\n\n"
-        f"Question: {question}\n"
-        f"Correct Answer: {answer}\n"
-        f"Predicted Answer: {pred}\n\n"
+# Per-dimension evaluation asks (the Video-ChatGPT 5-dimension protocol;
+# the generic variant is the ActivityNet/MSVD yes/no+score judge).
+_USER_ASKS = {
+    "generic": (
         "Provide your evaluation only as a yes/no and score where the score is an "
         "integer value between 0 and 5, with 5 indicating the highest meaningful match. "
-        "Please generate the response in the form of a Python dictionary string with "
-        "keys 'pred' and 'score', where value of 'pred' is  a string of 'yes' or 'no' "
-        "and value of 'score' is in INTEGER, not STRING."
-        "DO NOT PROVIDE ANY OTHER OUTPUT TEXT OR EXPLANATION. Only provide the Python "
-        "dictionary string. "
-        "For example, your response should look like this: {'pred': 'yes', 'score': 4.8}."
-    )
+    ),
+    "correctness": (
+        "Evaluate the factual accuracy of the prediction compared to the answer; "
+        "the predicted answer must not contain misinterpretations or misinformation. "
+        "Provide a factual-accuracy score between 0 and 5. "
+    ),
+    "detail": (
+        "Evaluate the detail orientation of the prediction: it should cover all "
+        "major points of the correct answer and include specific rather than "
+        "generic details. Provide a detail-orientation score between 0 and 5. "
+    ),
+    "context": (
+        "Evaluate whether the predicted answer aligns with the overall context of "
+        "the video content without deviating from it. Provide a contextual-"
+        "understanding score between 0 and 5. "
+    ),
+    "temporal": (
+        "Evaluate whether the predicted answer accurately reflects the temporal "
+        "sequence of events in the video. Provide a temporal-accuracy score "
+        "between 0 and 5. "
+    ),
+    "consistency": (
+        "Evaluate whether the two predicted answers to the two similar questions "
+        "are consistent with each other and with the correct answer. Provide a "
+        "consistency score between 0 and 5. "
+    ),
+}
+
+_FORMAT_ASK = (
+    "Please generate the response in the form of a Python dictionary string with "
+    "keys 'pred' and 'score', where value of 'pred' is  a string of 'yes' or 'no' "
+    "and value of 'score' is in INTEGER, not STRING."
+    "DO NOT PROVIDE ANY OTHER OUTPUT TEXT OR EXPLANATION. Only provide the Python "
+    "dictionary string. "
+    "For example, your response should look like this: {'pred': 'yes', 'score': 4.8}."
+)
+
+
+def build_judge_messages(question: str, answer: str, pred: str,
+                         dimension: str = "generic",
+                         question2: str = None, pred2: str = None) -> List[Dict]:
+    if dimension == "consistency":
+        if question2 is None or pred2 is None:
+            raise ValueError(
+                "consistency judging needs the paired question2/pred2 "
+                "(the protocol compares two answers to similar questions)"
+            )
+        body = (
+            "Please evaluate the following video-based question-answer pairs:\n\n"
+            f"Question 1: {question}\n"
+            f"Question 2: {question2}\n"
+            f"Correct Answer: {answer}\n"
+            f"Predicted Answer to Question 1: {pred}\n"
+            f"Predicted Answer to Question 2: {pred2}\n\n"
+        )
+    else:
+        body = (
+            "Please evaluate the following video-based question-answer pair:\n\n"
+            f"Question: {question}\n"
+            f"Correct Answer: {answer}\n"
+            f"Predicted Answer: {pred}\n\n"
+        )
+    user = body + _USER_ASKS[dimension] + _FORMAT_ASK
     return [
         {"role": "system", "content": _SYSTEM_PROMPTS[dimension]},
         {"role": "user", "content": user},
@@ -137,7 +190,10 @@ def judge_predictions(
             with open(cache) as f:
                 results[key] = json.load(f)[0]
             continue
-        msg = build_judge_messages(qa["question"], qa["answer"], qa["pred"], dimension)
+        msg = build_judge_messages(
+            qa["question"], qa["answer"], qa["pred"], dimension,
+            question2=qa.get("question2"), pred2=qa.get("pred2"),
+        )
         verdict = None
         for attempt in range(max_retries):
             try:

@@ -46,7 +46,9 @@ def extract_choice_letter(s: str, choices: str = "ABCD") -> str:
 def mcqa_accuracy(records: List[Dict], pred_key: str = "pred", gt_key: str = "gt") -> float:
     if not records:
         return 0.0
-    return 100.0 * sum(1 for r in records if r[pred_key] == r[gt_key]) / len(records)
+    return 100.0 * sum(
+        1 for r in records if r.get(pred_key) == r.get(gt_key) and r.get(gt_key)
+    ) / len(records)
 
 
 def mcqa_accuracy_by_task(records: List[Dict], task_key: str = "task_type") -> Dict[str, float]:

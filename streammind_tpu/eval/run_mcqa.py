@@ -23,9 +23,30 @@ _FIELDS = {
     "perception": ("video_id", "question", "options", "answer_id", "task"),
 }
 
+_LETTERS = "ABCDEFGH"
+
+
+def normalize_gt(benchmark: str, answer, options) -> str:
+    """Ground truth → option letter, per benchmark convention:
+    videomme stores the letter; mvbench stores the option TEXT; egoschema
+    and perception store the option INDEX."""
+    if benchmark == "videomme":
+        return str(answer).strip()[:1].upper()
+    if benchmark == "mvbench":
+        text = str(answer).strip()
+        for i, opt in enumerate(options or []):
+            if str(opt).strip() == text:
+                return _LETTERS[i]
+        return text[:1].upper()  # letter-style fallback
+    # egoschema / perception: integer option index
+    try:
+        return _LETTERS[int(answer)]
+    except (ValueError, TypeError, IndexError):
+        return str(answer).strip()[:1].upper()
+
 
 def format_mcqa_question(question: str, options: List[str]) -> str:
-    letters = "ABCDEFGH"
+    letters = _LETTERS
     lines = [question]
     for i, opt in enumerate(options):
         prefix = f"{letters[i]}." if not opt.strip().startswith(f"{letters[i]}.") else ""
@@ -34,33 +55,40 @@ def format_mcqa_question(question: str, options: List[str]) -> str:
 
 
 def run_inference(model, tokenizer, records: List[Dict], benchmark: str,
-                  video_root: str, processor, num_frames: int = 8) -> Iterator[Dict]:
+                  video_root: str, processor, num_frames: int = 8,
+                  version: str = "llama_2") -> Iterator[Dict]:
     from ..api import x_infer
 
     vkey, qkey, okey, akey, tkey = _FIELDS[benchmark]
+    n_options = 5 if benchmark == "egoschema" else 4
     for rec in records:
+        options = rec.get(okey, [])
+        gt = normalize_gt(benchmark, rec.get(akey, ""), options)
         video_path = os.path.join(video_root, str(rec[vkey]))
         if not os.path.splitext(video_path)[1]:
             video_path += ".mp4"
         try:
-            video = processor(video_path)
+            video = processor(video_path, num_frames=num_frames)
         except Exception as e:  # noqa: BLE001
-            yield {**rec, "pred": "", "error": str(e)}
+            yield {**rec, "pred": "", "gt": gt, "error": str(e)}
             continue
-        question = format_mcqa_question(rec[qkey], rec.get(okey, []))
-        response = x_infer(video, question, model, tokenizer, mode="mcqa")
+        question = format_mcqa_question(rec[qkey], options)
+        response = x_infer(video, question, model, tokenizer, mode="mcqa",
+                           version=version)
         yield {
             "question_id": rec.get("question_id", rec.get(vkey)),
             "task_type": rec.get(tkey) if tkey else None,
-            "pred": extract_choice_letter(response),
-            "gt": str(rec.get(akey, "")).strip()[:1].upper(),
+            "pred": extract_choice_letter(response, _LETTERS[:n_options]),
+            "gt": gt,
             "response": response,
         }
 
 
 def score_answers(path: str) -> Dict:
     records = [json.loads(line) for line in open(path)]
-    records = [r for r in records if r.get("pred") is not None]
+    # error rows count as wrong (pred "" never equals a letter gt), matching
+    # the reference protocol of scoring every question
+    records = [r for r in records if r.get("gt") is not None]
     out = {"accuracy": mcqa_accuracy(records)}
     if any(r.get("task_type") for r in records):
         out["by_task"] = mcqa_accuracy_by_task(
@@ -88,7 +116,7 @@ def main():
 
     from ..api import model_init
 
-    model, processor, tokenizer, _ = model_init(args.model_path)
+    model, processor, tokenizer, version = model_init(args.model_path)
     with open(args.question_file) as f:
         data = json.load(f)
     records = data if isinstance(data, list) else data.get("questions", data)
@@ -98,7 +126,7 @@ def main():
     with open(args.answer_file, "w") as out:
         for row in run_inference(
             model, tokenizer, records, args.benchmark, args.video_root,
-            processor, args.num_frames,
+            processor, args.num_frames, version=version,
         ):
             out.write(json.dumps(row) + "\n")
     print(json.dumps(score_answers(args.answer_file), indent=2))

@@ -61,10 +61,20 @@ def run_inference(args):
 
 def run_judge(args):
     preds = [json.loads(line) for line in open(args.answer_file)]
-    preds = [p for p in preds if p.get("pred")]
+    scored = [p for p in preds if p.get("pred")]
+    n_failed = len(preds) - len(scored)
     result = judge_predictions(
-        preds, args.judge_dir, dimension=args.judge_dim,
+        scored, args.judge_dir, dimension=args.judge_dim,
     )
+    # inference failures score 0/'no' — dropping them would inflate accuracy
+    total = result["n"] + n_failed
+    if total:
+        result = {
+            "mean_score": result["mean_score"] * result["n"] / total,
+            "accuracy": result["accuracy"] * result["n"] / total,
+            "n": total,
+            "n_failed": n_failed,
+        }
     print(json.dumps({f"{args.judge_dim}": result}, indent=2))
 
 

@@ -195,7 +195,8 @@ def selective_scan_pallas(
     bsz, d_inner, seqlen = u32.shape
     d_state = A32.shape[1]
     block_d = min(block_d, d_inner)
-    assert d_inner % block_d == 0, (d_inner, block_d)
+    while d_inner % block_d != 0:  # fall back to a dividing block size
+        block_d -= 1
 
     # Time-major layouts for the kernel.
     u_t = u32.transpose(0, 2, 1)      # (B, L, D)

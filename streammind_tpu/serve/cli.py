@@ -27,15 +27,15 @@ def main():
 
     if args.video_file:
         video = process_video(args.video_file, num_frames=args.num_frames)
-        media_tag = "<video>\n"
     elif args.image_file:
         video = process_image(args.image_file)
-        media_tag = "<image>\n"
     else:
         print("error: provide --video-file or --image-file", file=sys.stderr)
         sys.exit(1)
 
-    first = True
+    # api.infer attaches the modal token itself; the CLI only carries the
+    # dialogue history so every turn sees the full conversation
+    history = []
     while True:
         try:
             inp = input(f"{conv.roles[0]}: ")
@@ -43,14 +43,16 @@ def main():
             break
         if not inp:
             break
-        instruct = (media_tag + inp) if first else inp
-        first = False
         print(f"{conv.roles[1]}: ", end="", flush=True)
         out = api.infer(
-            model, video, instruct, tokenizer,
+            model, video, inp, tokenizer,
             do_sample=args.temperature > 0,
+            temperature=args.temperature if args.temperature > 0 else None,
             max_new_tokens=args.max_new_tokens,
+            version=version,
+            history=history,
         )
+        history.append((inp, out))
         print(out)
 
 

@@ -32,6 +32,9 @@ class EndpointWorker(ModelWorker):
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.limit = limit_model_concurrency
         self._active = 0
+        self._waiting = 0
+        self._sessions = {}
+        self._sessions_lock = threading.Lock()
         self.model = None
         self.tokenizer = None
         self.processor = None
@@ -65,9 +68,9 @@ class EndpointWorker(ModelWorker):
                 payload = line[5:].strip()
                 if payload == "[DONE]":
                     break
-                delta = (
-                    json.loads(payload)["choices"][0].get("delta", {}).get("content")
-                )
+                choices = json.loads(payload).get("choices") or []
+                # content-filter/preamble chunks carry empty choices
+                delta = choices[0].get("delta", {}).get("content") if choices else None
                 if delta:
                     text += delta
                     yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"

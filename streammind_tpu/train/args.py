@@ -112,6 +112,16 @@ def parse_args(argv=None):
                     v = int(v)
                 elif isinstance(f.default, float):
                     v = float(v)
+                elif f.default is None and isinstance(v, str):
+                    # Optional numeric fields (e.g. mm_projector_lr) arrive as
+                    # CLI strings; coerce when they parse as numbers
+                    try:
+                        v = int(v)
+                    except ValueError:
+                        try:
+                            v = float(v)
+                        except ValueError:
+                            pass
                 kwargs[f.name] = v
         return dc(**kwargs)
 

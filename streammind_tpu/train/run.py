@@ -267,8 +267,29 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         or (training_args.max_steps if training_args.max_steps > 0 else len(dataset))
     )
 
+    # -- LoRA (reference lora_enable path, train_new_stream.py:813-829) -----
+    lora_scaling = None
+    if training_args.lora_enable and stage == "llm":
+        from .lora import apply_lora, init_lora_params
+
+        params["lora"] = init_lora_params(
+            jax.random.PRNGKey(training_args.seed + 1), params["text"],
+            r=training_args.lora_r, dtype=dtype,
+        )
+        lora_scaling = training_args.lora_alpha / training_args.lora_r
+        logger.info(
+            f"LoRA enabled: r={training_args.lora_r} alpha={training_args.lora_alpha}"
+        )
+
     # -- optimizer + sharding -----------------------------------------------
-    mask = trainable_mask(params, stage)
+    if lora_scaling is not None:
+        # base decoder frozen; LoRA deltas + projector (minus gate) train
+        mask = trainable_mask(
+            {k: v for k, v in params.items() if k != "lora"}, "adapter"
+        )
+        mask["lora"] = jax.tree.map(lambda _: True, params["lora"])
+    else:
+        mask = trainable_mask(params, stage)
     logger.info(
         f"trainable params: {count_trainable(params, mask)/1e6:.1f}M"
     )
@@ -320,20 +341,27 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
         from .objectives import text_only_llm_loss
 
+        def _effective(p):
+            if lora_scaling is None:
+                return p
+            from .lora import apply_lora
+
+            return {**p, "text": apply_lora(p["text"], p["lora"], lora_scaling)}
+
         if stage == "cls":
             def loss_fn(p, b):
                 return stage2_gate_loss(p, cfg, b["frames"], b["labels"], b["mask"])
         else:
             def loss_fn(p, b):
                 return stage1_llm_loss(
-                    p, cfg, b["frames"], b["token_ids"], b["mem_index"],
+                    _effective(p), cfg, b["frames"], b["token_ids"], b["mem_index"],
                     b["use_mem"], b["attn_mask"], b["labels"],
                     remat=training_args.gradient_checkpointing,
                 )
 
         def text_loss_fn(p, b):
             return text_only_llm_loss(
-                p, cfg, b["token_ids"], b["attn_mask"], b["labels"],
+                _effective(p), cfg, b["token_ids"], b["attn_mask"], b["labels"],
                 remat=training_args.gradient_checkpointing,
             )
 
@@ -369,9 +397,17 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     "train/grad_norm": float(metrics["grad_norm"]),
                 })
             if (step + 1) % training_args.save_steps == 0 or step + 1 == total_steps:
+                ckpt_params = jax.tree.map(np.asarray, state.params)
+                if lora_scaling is not None:
+                    # LoRA runs checkpoint only the trainables (the
+                    # reference's lora + non_lora_trainables split)
+                    ckpt_params = {
+                        "lora": ckpt_params["lora"],
+                        "projector": ckpt_params["projector"],
+                    }
                 path = save_checkpoint(
                     training_args.output_dir, step + 1,
-                    jax.tree.map(np.asarray, state.params),
+                    ckpt_params,
                     adapter_only=(stage in ("cls", "adapter")),
                     keep=training_args.save_total_limit,
                 )

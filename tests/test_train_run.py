@@ -178,3 +178,35 @@ def test_pretrain_adapter_loading(tmp_path, cfg):
         np.asarray(state.params["projector"]["pre_net"]["weight"]),
         np.asarray(src_params["projector"]["pre_net"]["weight"]),
     )
+
+
+@pytest.mark.slow
+def test_train_lora(tmp_path, cfg):
+    """--lora-enable trains only LoRA deltas + projector; the base decoder
+    stays bit-frozen and losses are finite."""
+    import json as _json
+
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma = ModelArguments()
+    da = DataArguments(score_dataset_train_llm=True)
+    ta = TrainingArguments(
+        output_dir=str(tmp_path), learning_rate=1e-3, bf16=False,
+        save_steps=10, logging_steps=1, max_steps=3, resume=False,
+        lora_enable=True, lora_r=4, lora_alpha=8,
+    )
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert "lora" in state.params
+    # base decoder frozen
+    from streammind_tpu.models.meta import init_streammind_params as _init
+
+    base = _init(jax.random.PRNGKey(ta.seed), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["text"]["layers"]["q"]["weight"]),
+        np.asarray(base["text"]["layers"]["q"]["weight"]),
+    )
+    # LoRA B moved away from zero init
+    assert float(np.abs(np.asarray(state.params["lora"]["layers"]["q"]["B"])).sum()) > 0
+    log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
+    losses = [_json.loads(l)["train/loss"] for l in open(log)]
+    assert all(np.isfinite(losses)), losses
