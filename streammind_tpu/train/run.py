@@ -139,7 +139,9 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
 
     sample["video"] is either (T, 3, H, W) pixels or (T, P, D) pre-extracted
     CLIP features (the shard pipeline, data/extract.py) — features skip the
-    frozen vision tower entirely.
+    frozen vision tower entirely.  Multi-turn streaming samples (Ego4D,
+    data/ego4d.py) carry "span_frames": one <video> slot per turn, spans
+    indexed consecutively over the frame sequence.
     """
     video = np.asarray(sample["video"], np.float32)
     t = video.shape[0]
@@ -170,9 +172,24 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
 
     ids = list(np.asarray(sample["input_ids"])[0])
     labels = list(np.asarray(sample["labels"])[0])
-    n_spliced = len(ids) - 1 + t
+    if "span_frames" in sample:
+        # multi-turn: clamp spans to the (possibly truncated) frame budget
+        spans = list(sample["span_frames"])
+        total = sum(spans)
+        while total > t and spans:
+            drop = min(spans[-1], total - t)
+            spans[-1] -= drop
+            total -= drop
+            if spans[-1] == 0 and total > t:
+                spans.pop()
+        spans = [max(s, 1) if i == len(spans) - 1 else s for i, s in enumerate(spans)]
+        n_slots = len(spans)
+    else:
+        spans = [t]
+        n_slots = 1
+    n_spliced = len(ids) - n_slots + sum(spans)
     bucket = bucket_length(n_spliced, PLAN_BUCKETS)
-    plan = build_splice_plan(ids, [t], VIDEO_TOKEN_INDEX, bucket, labels=labels)
+    plan = build_splice_plan(ids, spans, VIDEO_TOKEN_INDEX, bucket, labels=labels)
     return {
         "frames": feats,
         "token_ids": jnp.asarray(plan.token_ids)[None],
@@ -247,6 +264,15 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             dataset = MatchTimeDataset(
                 data_args.data_path, tokenizer, cur_fps=data_args.cur_fps,
                 seed=training_args.seed,
+            )
+        elif data_args.dataset == "ego4d":
+            from ..data.ego4d import Ego4dNarrationDataset
+            import transformers
+
+            tokenizer = transformers.AutoTokenizer.from_pretrained(model_args.model_path)
+            dataset = Ego4dNarrationDataset(
+                data_args.data_folder or ".", data_args.anno_path, tokenizer,
+                model_type="llm", data_type="train",
             )
         elif data_args.dataset == "sft":
             from ..data.sft import VideoLLaVASFTDataset

@@ -210,3 +210,40 @@ def test_train_lora(tmp_path, cfg):
     log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
     losses = [_json.loads(l)["train/loss"] for l in open(log)]
     assert all(np.isfinite(losses)), losses
+
+
+@pytest.mark.slow
+def test_train_ego4d_multiturn(tmp_path, cfg):
+    """Multi-turn Ego4D streaming samples train through the multi-slot splice."""
+    import json as _json
+
+    from streammind_tpu.data.ego4d import preprocess_llama_2_ego4d
+
+    tok = SPLikeTokenizer()
+    rng2 = np.random.default_rng(2)
+
+    class Ego4dFake:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            narrs = [(0.5, "You open the door."), (1.5, "You sit down.")]
+            s = preprocess_llama_2_ego4d(narrs, tok, fps=2)
+            total = sum(s["span_frames"])
+            s = dict(s)
+            s["video"] = rng2.standard_normal(
+                (total, 3, cfg.vision.image_size, cfg.vision.image_size)
+            ).astype(np.float32)
+            s["caption_info"] = "x"
+            return s
+
+    ma = ModelArguments()
+    da = DataArguments(dataset="ego4d", score_dataset_train_llm=True)
+    ta = TrainingArguments(output_dir=str(tmp_path), learning_rate=1e-3,
+                           bf16=False, save_steps=10, logging_steps=1,
+                           max_steps=3, resume=False)
+    state = train(ma, da, ta, dataset=Ego4dFake(), cfg=cfg)
+    assert int(state.step) == 3
+    log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
+    losses = [_json.loads(l)["train/loss"] for l in open(log)]
+    assert all(np.isfinite(losses)), losses
