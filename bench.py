@@ -41,7 +41,8 @@ def main():
 
     @jax.jit
     def perceive(params, pixels, mamba_state):
-        feats = vit_forward(params["vision"], cfg.vision, pixels)
+        # serving config: bf16-softmax ViT (engine fast_vision=True)
+        feats = vit_forward(params["vision"], cfg.vision, pixels, attn_impl="bf16")
         mem_tok, mamba_state = proj.mamba_project_step(
             params["projector"], cfg, feats, mamba_state
         )
