@@ -60,6 +60,8 @@ def model_init(
     params: Optional[dict] = None,
     tokenizer=None,
     seed: int = 0,
+    quantize_gate: bool = False,
+    fast_vision: bool = False,
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 
@@ -106,7 +108,10 @@ def model_init(
             tokenizer = None
 
     eos_id = getattr(tokenizer, "eos_token_id", 2) if tokenizer else 2
-    engine = StreamMindEngine(params, cfg, eos_token_id=eos_id or 2)
+    engine = StreamMindEngine(
+        params, cfg, eos_token_id=eos_id or 2,
+        quantize_gate=quantize_gate, fast_vision=fast_vision,
+    )
     model = StreamMindModel(params=params, cfg=cfg, engine=engine,
                             model_path=model_path or "")
 

@@ -46,6 +46,8 @@ class ModelWorker:
         no_register: bool = False,
         model=None,
         tokenizer=None,
+        quantize_gate: bool = True,
+        fast_vision: bool = True,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -61,7 +63,11 @@ class ModelWorker:
         if model is None:
             from ..api import model_init
 
-            model, self.processor, tokenizer, self.version = model_init(model_path)
+            # serving defaults: int8 gate + bf16-softmax ViT (the measured
+            # 160 fps / 267 fps-aggregate configuration; PARITY.md)
+            model, self.processor, tokenizer, self.version = model_init(
+                model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
+            )
         else:
             self.processor, self.version = None, "llama_2"
         self.model = model
@@ -333,6 +339,10 @@ def main():
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--no-quantize-gate", action="store_true",
+                        help="full-precision gate (default: weight-only int8)")
+    parser.add_argument("--no-fast-vision", action="store_true",
+                        help="fp32-softmax ViT (default: bf16 softmax)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -341,6 +351,8 @@ def main():
         args.model_name,
         args.limit_model_concurrency,
         args.no_register,
+        quantize_gate=not args.no_quantize_gate,
+        fast_vision=not args.no_fast_vision,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -169,6 +169,29 @@ def load_checkpoint(path: str) -> Tuple[Any, Optional[Any], Dict]:
 
 
 # ---------------------------------------------------------------------------
+# Orbax backend (optional): multi-host/sharded checkpoints for large runs.
+# The npz store above is the default (single-host, dependency-light); pass
+# backend="orbax" to save_checkpoint for distributed saves where every host
+# writes its own param shards.
+# ---------------------------------------------------------------------------
+def save_tree_orbax(path: str, tree, name: str = "params") -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(os.path.abspath(path), name + "_orbax"), tree)
+
+
+def load_tree_orbax(path: str, name: str = "params", template=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = os.path.join(os.path.abspath(path), name + "_orbax")
+        if template is not None:
+            return ckptr.restore(target, item=template)
+        return ckptr.restore(target)
+
+
+# ---------------------------------------------------------------------------
 # optimizer state (optax pytrees: NamedTuples with exotic nodes) — stored as
 # a flat leaf list; restored into a freshly init'd state's treedef.
 # ---------------------------------------------------------------------------

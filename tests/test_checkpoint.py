@@ -100,3 +100,15 @@ def test_opt_state_roundtrip_bf16(tmp_path):
     assert restored is not None
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
         assert np.asarray(a).dtype == np.asarray(b).dtype
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from streammind_tpu.utils.checkpoint import load_tree_orbax, save_tree_orbax
+
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "b": {"c": jnp.ones((4,), jnp.bfloat16)}}
+    save_tree_orbax(str(tmp_path), tree)
+    loaded = load_tree_orbax(str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.asarray(tree["a"]))
+    assert jnp.asarray(loaded["b"]["c"]).dtype == jnp.bfloat16
