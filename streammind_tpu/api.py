@@ -54,7 +54,7 @@ def _load_config(model_path: str) -> StreamMindConfig:
 
 def model_init(
     model_path: Optional[str] = None,
-    model_name: str = "StreamMind-7B",
+    model_name: Optional[str] = None,  # None → derive from model_path
     cfg: Optional[StreamMindConfig] = None,
     dtype=jnp.bfloat16,
     params: Optional[dict] = None,
@@ -68,7 +68,7 @@ def model_init(
     Returns (model, processor, tokenizer, version) like the reference's
     model_init (+version as in eval scripts' 4-tuple variant).
     """
-    model_name = model_name or get_model_name_from_path(model_path or "")
+    model_name = model_name or get_model_name_from_path(model_path or "StreamMind-7B")
     if cfg is None:
         cfg = _load_config(model_path) if model_path else StreamMindConfig()
 

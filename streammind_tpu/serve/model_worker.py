@@ -189,10 +189,18 @@ class ModelWorker:
 
         from .safety import SAFETY_MSG, safety_check
 
+        rng_key = None
+        if temperature > 0:
+            import os as _os
+
+            rng_key = jax.random.PRNGKey(
+                int.from_bytes(_os.urandom(4), "little")
+            )  # fresh randomness per request (reference do_sample parity)
         generated: list = []
         text = ""
         for tok in engine.decode_stream(
-            last, cache, max_new_tokens=max_new_tokens, temperature=temperature
+            last, cache, max_new_tokens=max_new_tokens, temperature=temperature,
+            rng_key=rng_key,
         ):
             generated.append(tok)
             try:
@@ -210,7 +218,23 @@ class ModelWorker:
             yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
 
     # -- live streaming-video sessions (the event-gated product loop) -------
+    MAX_SESSIONS = 16
+    SESSION_TTL_S = 1800.0
+
+    def _sweep_sessions(self) -> None:
+        """Evict idle sessions past TTL, then oldest-idle beyond the cap —
+        each session pins a full KV cache + memory ring."""
+        now = time.time()
+        with self._sessions_lock:
+            for sid in [s for s, (sess, lock, used) in self._sessions.items()
+                        if now - used > self.SESSION_TTL_S]:
+                del self._sessions[sid]
+            while len(self._sessions) >= self.MAX_SESSIONS:
+                oldest = min(self._sessions, key=lambda s: self._sessions[s][2])
+                del self._sessions[oldest]
+
     def stream_session_start(self, params: dict) -> dict:
+        self._sweep_sessions()
         sid = params.get("session_id") or str(uuid.uuid4())[:8]
         prompt = params.get("prompt")
         prompt_ids = None
@@ -229,7 +253,7 @@ class ModelWorker:
             gate_threshold=params.get("gate_threshold"),
         )
         with self._sessions_lock:
-            self._sessions[sid] = session
+            self._sessions[sid] = (session, threading.Lock(), time.time())
         return {"session_id": sid}
 
     def _decode_frame(self, params: dict):
@@ -237,6 +261,8 @@ class ModelWorker:
 
         from ..mm_utils import clip_preprocess
 
+        if "frame_b64" not in params and "pixels" not in params:
+            return None
         if "frame_b64" in params:
             from io import BytesIO
             from PIL import Image
@@ -247,28 +273,44 @@ class ModelWorker:
         return jnp.asarray(np.asarray(params["pixels"], np.float32))
 
     def stream_session_frame(self, params: dict) -> dict:
-        sid = params["session_id"]
+        sid = params.get("session_id")
         with self._sessions_lock:
-            session = self._sessions.get(sid)
-        if session is None:
+            entry = self._sessions.get(sid)
+        if entry is None:
             return {"error": f"unknown session {sid}", "error_code": 4}
-        pixels = self._decode_frame(params)
-        text = session.process_frame(pixels)
-        return {
-            "fire": text is not None,
-            "text": text,
-            "frame_idx": int(session.state.frame_idx),
-            "error_code": 0,
-        }
+        session, lock, _ = entry
+        try:
+            pixels = self._decode_frame(params)
+            if pixels is None:
+                return {"error": "no frame provided (frame_b64 or pixels)",
+                        "error_code": 1}
+            # per-session serialization: concurrent frames would hand the
+            # same donated StreamState to two perceive calls
+            with lock:
+                text = session.process_frame(pixels)
+                with self._sessions_lock:
+                    if sid in self._sessions:
+                        self._sessions[sid] = (session, lock, time.time())
+            return {
+                "fire": text is not None,
+                "text": text,
+                "frame_idx": int(session.state.frame_idx),
+                "error_code": 0,
+            }
+        except Exception as e:  # noqa: BLE001
+            logger.exception("stream_session_frame error")
+            return {"error": f"{type(e).__name__}: {e}", "error_code": 1}
 
     def stream_session_stop(self, params: dict) -> dict:
-        sid = params["session_id"]
+        sid = params.get("session_id")
         with self._sessions_lock:
-            session = self._sessions.pop(sid, None)
-        if session is None:
+            entry = self._sessions.pop(sid, None)
+        if entry is None:
             return {"error": f"unknown session {sid}", "error_code": 4}
-        return {"turns": session.turns, "intervals": session.interval_ids,
-                "error_code": 0}
+        session, lock, _ = entry
+        with lock:  # let an in-flight frame finish
+            return {"turns": session.turns, "intervals": session.interval_ids,
+                    "error_code": 0}
 
     def generate_stream_gate(self, params: dict):
         try:

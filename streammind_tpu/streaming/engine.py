@@ -465,6 +465,21 @@ def ensure_turn_capacity(
         if len(history) + len(ids) > keep:
             break
         history = ids + history
+    # the rebuilt suffix must ALSO fit the fresh cache: bucket + decode
+    # budget vs capacity (a bucket-sized prefill into a too-small cache is
+    # the exact clamped-write corruption this guard exists to prevent)
+    def fits(hist):
+        n = len(hist) + turn_scaffold + span_len
+        b = bucket_length(min(n, engine.buckets[-1]), engine.buckets)
+        return b + max_new_tokens <= engine.kv_capacity and n <= engine.buckets[-1]
+
+    while history and not fits(history):
+        # drop the oldest kept turn (history entries are whole turns only
+        # when they fit; trimming from the front is safe)
+        cut = history[: max(len(history) // 4, 1)]
+        history = history[len(cut):]
+    if not fits(history):
+        history = []
     # history re-renders every kept turn incl. its </s>; the old pending
     # (at most the dangling </s> of the last turn) is superseded by it
     new_pending = history if turns else pending_ids

@@ -173,16 +173,18 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
     ids = list(np.asarray(sample["input_ids"])[0])
     labels = list(np.asarray(sample["labels"])[0])
     if "span_frames" in sample:
-        # multi-turn: clamp spans to the (possibly truncated) frame budget
+        # multi-turn: frame truncation keeps the LAST t frames, so shrink
+        # spans from the FRONT (earliest turns), never below 1 per slot —
+        # the slot count must keep matching the <video> tokens in input_ids,
+        # and later (supervised) turns stay aligned to the retained frames
         spans = list(sample["span_frames"])
-        total = sum(spans)
-        while total > t and spans:
-            drop = min(spans[-1], total - t)
-            spans[-1] -= drop
-            total -= drop
-            if spans[-1] == 0 and total > t:
-                spans.pop()
-        spans = [max(s, 1) if i == len(spans) - 1 else s for i, s in enumerate(spans)]
+        drop = sum(spans) - t
+        i = 0
+        while drop > 0 and i < len(spans):
+            take = min(spans[i] - 1, drop)
+            spans[i] -= take
+            drop -= take
+            i += 1
         n_slots = len(spans)
     else:
         spans = [t]
@@ -340,7 +342,20 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             latest = latest_checkpoint(training_args.output_dir)
             if latest:
                 loaded, _, meta = load_checkpoint(latest)
-                if meta.get("adapter_only"):
+                if meta.get("lora_only"):
+                    # LoRA checkpoints carry only {lora, projector}; the base
+                    # decoder/vision stay at their initialized values
+                    new_params = dict(state.params)
+                    for k in ("lora", "projector"):
+                        if k in loaded:
+                            new_params[k] = shard_params({k: loaded[k]}, mesh)[k] \
+                                if k == "projector" else loaded[k]
+                    state = state._replace(
+                        params=new_params, step=jnp.int32(meta["step"])
+                    )
+                    start_step = meta["step"]
+                    logger.info(f"resumed LoRA adapters from {latest}")
+                elif meta.get("adapter_only"):
                     # adapter checkpoints carry only the projector subtree;
                     # restore it (and the step) so stage-2/adapter runs resume
                     new_params = dict(state.params)
@@ -436,6 +451,7 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     ckpt_params,
                     adapter_only=(stage in ("cls", "adapter")),
                     keep=training_args.save_total_limit,
+                    extra={"lora_only": lora_scaling is not None},
                 )
                 if stage not in ("cls", "adapter"):
                     save_opt_state(path, state.opt_state)

@@ -170,9 +170,9 @@ def load_checkpoint(path: str) -> Tuple[Any, Optional[Any], Dict]:
 
 # ---------------------------------------------------------------------------
 # Orbax backend (optional): multi-host/sharded checkpoints for large runs.
-# The npz store above is the default (single-host, dependency-light); pass
-# backend="orbax" to save_checkpoint for distributed saves where every host
-# writes its own param shards.
+# The npz store above is the default (single-host, dependency-light);
+# save_tree_orbax/load_tree_orbax are standalone helpers for distributed
+# saves where every host writes its own param shards.
 # ---------------------------------------------------------------------------
 def save_tree_orbax(path: str, tree, name: str = "params") -> None:
     import orbax.checkpoint as ocp

@@ -247,3 +247,29 @@ def test_train_ego4d_multiturn(tmp_path, cfg):
     log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
     losses = [_json.loads(l)["train/loss"] for l in open(log)]
     assert all(np.isfinite(losses)), losses
+
+
+def test_multiturn_span_clamp_keeps_slots(cfg):
+    """Frame truncation must shrink the EARLIEST spans and never drop a
+    <video> slot (regression: popping spans crashed build_splice_plan)."""
+    from streammind_tpu.train.run import make_batch_from_sample
+    from streammind_tpu.models.meta import init_streammind_params as _init
+
+    params = _init(jax.random.PRNGKey(0), cfg)
+    rng2 = np.random.default_rng(3)
+    n_turns = 3
+    ids = [1] + sum([[-201, 5, 6, 2] for _ in range(n_turns)], [])
+    labels = [-100] + sum([[-100, 5, 6, 2] for _ in range(n_turns)], [])
+    sample = {
+        "input_ids": np.asarray(ids)[None],
+        "labels": np.asarray(labels)[None],
+        "span_frames": [30, 4, 2],   # sum 36 > bucket 16 for tiny cfg? FRAME_BUCKETS starts at 8
+        "video": rng2.standard_normal(
+            (36, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ).astype(np.float32),
+        "caption_info": "x",
+    }
+    batch = make_batch_from_sample(sample, cfg, params["vision"], "llm")
+    # all three slots survived: exactly 3 spans' worth of memory positions
+    use = np.asarray(batch["use_mem"][0])
+    assert use.sum() >= 3  # at least one memory position per turn
