@@ -44,11 +44,28 @@ class StreamMindModel:
 
 
 def _load_config(model_path: str) -> StreamMindConfig:
-    for name in ("streammind_config.json",):
-        p = os.path.join(model_path, name)
-        if os.path.exists(p):
-            with open(p) as f:
-                return StreamMindConfig.from_json(f.read())
+    p = os.path.join(model_path, "streammind_config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return StreamMindConfig.from_json(f.read())
+    # HF-layout checkpoint: derive the decoder config from config.json the way
+    # the reference builds from cfg_pretrained (builder.py:124-129) — picks
+    # the mistral/mixtral/qwen2 branch from model_type.
+    p = os.path.join(model_path, "config.json")
+    if os.path.exists(p):
+        from .config import text_config_from_hf
+
+        with open(p) as f:
+            raw = json.load(f)
+        cfg = StreamMindConfig()
+        text = text_config_from_hf(raw)
+        return cfg.replace(
+            text=text,
+            gate=dataclasses.replace(
+                cfg.gate, hidden_size=text.hidden_size,
+                head_dim=text.hidden_size // cfg.gate.num_heads,
+            ),
+        )
     return StreamMindConfig()
 
 
@@ -117,6 +134,10 @@ def model_init(
 
     if "vicuna" in model_name.lower():
         version = "v1"
+    elif "qwen" in model_name.lower():
+        # qwen1.5/qwen2 (reference __init__.py:27-29; we also supply the
+        # ChatML template the reference's conv table is missing)
+        version = "qwen"
     else:
         version = "llama_2"
     processor = partial(process_video, num_frames=cfg.num_frames or NUM_FRAMES,

@@ -92,6 +92,7 @@ class TextConfig:
     max_position_embeddings: int = 32768
     sliding_window: int = 0  # 0 → full causal attention
     tie_word_embeddings: bool = False
+    qkv_bias: bool = False  # Qwen2: biases on q/k/v projections only
     # MoE (Mixtral); num_experts == 1 → dense MLP.
     num_experts: int = 1
     num_experts_per_tok: int = 2
@@ -125,6 +126,52 @@ def gate_lm_config(hidden_size: int = 4096) -> TextConfig:
 
 def mixtral_8x7b() -> TextConfig:
     return TextConfig(num_experts=8, num_experts_per_tok=2)
+
+
+def text_config_from_hf(raw: dict) -> TextConfig:
+    """Build a TextConfig from an HF-style config.json dict.
+
+    Covers the three backbones the reference's builder dispatches on
+    (reference streammind/model/builder.py:124-129): mistral, mixtral
+    (num_local_experts > 1) and qwen2 (qkv biases, tied embeddings on the
+    small variants)."""
+    hidden = raw.get("hidden_size", 4096)
+    heads = raw.get("num_attention_heads", 32)
+    model_type = raw.get("model_type", "mistral").lower()
+    return TextConfig(
+        vocab_size=raw.get("vocab_size", 32000),
+        hidden_size=hidden,
+        intermediate_size=raw.get("intermediate_size", 14336),
+        num_layers=raw.get("num_hidden_layers", 32),
+        num_heads=heads,
+        num_kv_heads=raw.get("num_key_value_heads", heads),
+        head_dim=raw.get("head_dim", hidden // heads),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        max_position_embeddings=raw.get("max_position_embeddings", 32768),
+        sliding_window=raw.get("sliding_window") or 0,
+        tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        qkv_bias=model_type == "qwen2",
+        num_experts=raw.get("num_local_experts", 1),
+        num_experts_per_tok=raw.get("num_experts_per_tok", 2),
+    )
+
+
+def qwen2_7b() -> TextConfig:
+    """Qwen2-7B-Instruct — the reference's third backbone branch
+    (reference streammind/model/builder.py:128-129,159-161).  Same decoder
+    family as Mistral with q/k/v biases and a larger vocab/rope base."""
+    return TextConfig(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        qkv_bias=True,
+    )
 
 
 def llama2_7b() -> TextConfig:

@@ -272,6 +272,19 @@ conv_mpt = Conversation(
     sep="<|im_end|>",
 )
 
+# Qwen2 ChatML.  The reference detects qwen backbones (__init__.py:27-29 sets
+# version='qwen') but its conv_templates table (conversation.py:549) has no
+# 'qwen' entry, so that path KeyErrors upstream; we supply the standard Qwen2
+# chat format so the backbone branch is actually usable.
+conv_qwen = Conversation(
+    system="<|im_start|>system\nYou are a helpful assistant.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    version="qwen",
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="<|im_end|>\n",
+)
+
 conv_plain = Conversation(
     system="",
     roles=("", ""),
@@ -314,6 +327,7 @@ conv_templates: Dict[str, Conversation] = {
     "video_llama_beta": conv_llava_llama_2,
     "mistral_instruct": conv_mistral_instruct,
     "mpt": conv_mpt,
+    "qwen": conv_qwen,
     "conv_mistral_instruct_LIVE": conv_mistral_instruct_live,
     "mistral_instruct_live": conv_mistral_instruct_live,
 }

@@ -22,7 +22,7 @@ from ..config import TextConfig
 from ..ops.attention import attention, decode_attention
 from ..ops.norms import rms_norm
 from ..ops.rotary import apply_rope, rope_cos_sin
-from ..utils.params import linear, normal_init, ones, stack_layers
+from ..utils.params import linear, normal_init, ones, stack_layers, zeros
 
 
 class KVCache(NamedTuple):
@@ -66,6 +66,10 @@ def init_text_params(key, cfg: TextConfig, dtype=jnp.float32):
         "o": {"weight": normal_init(keys[5], (L, d, cfg.q_dim), dtype=dtype)},
         "post_norm": {"weight": ones((L, d), dtype)},
     }
+    if cfg.qkv_bias:  # Qwen2 puts biases on q/k/v only (not o)
+        layers["q"]["bias"] = zeros((L, cfg.q_dim), dtype)
+        layers["k"]["bias"] = zeros((L, cfg.kv_dim), dtype)
+        layers["v"]["bias"] = zeros((L, cfg.kv_dim), dtype)
     if cfg.num_experts > 1:
         layers["router"] = {
             "weight": normal_init(keys[6], (L, cfg.num_experts, d), dtype=dtype)

@@ -25,6 +25,8 @@ from ..utils.params import flatten_with_paths
 RULES: List[Tuple[str, dict]] = [
     # --- decoder (stacked layers: leading L axis) ---
     (r"text\.layers\.(q|k|v)\.weight", {3: P(None, "tp", "fsdp")}),
+    # Qwen2 q/k/v biases: (L, out) — out-dim follows the weight's tp shard
+    (r"text\.layers\.(q|k|v)\.bias", {2: P(None, "tp")}),
     (r"text\.layers\.o\.weight", {3: P(None, "fsdp", "tp")}),
     (r"text\.layers\.mlp\.(gate|up)\.weight", {3: P(None, "tp", "fsdp")}),
     (r"text\.layers\.mlp\.down\.weight", {3: P(None, "fsdp", "tp")}),

@@ -134,6 +134,11 @@ def convert_hf_text(sd: Dict, cfg: TextConfig, dtype=jnp.float32) -> Dict:
             "weight": stack(pre + "layers.{i}.post_attention_layernorm.weight")
         },
     }
+    if cfg.qkv_bias:  # Qwen2 biases live on q/k/v only
+        for name in ("q", "k", "v"):
+            layers[name]["bias"] = stack(
+                pre + "layers.{i}.self_attn." + name + "_proj.bias"
+            )
     if cfg.num_experts > 1:
         layers["router"] = {
             "weight": stack(pre + "layers.{i}.block_sparse_moe.gate.weight")

@@ -66,3 +66,32 @@ def test_infer_beams(model_and_tok, rng):
                             max_new_tokens=5, version=version)
     assert len(cands) == 3
     assert all(isinstance(c, str) for c in cands)
+
+
+def test_model_init_qwen_version_and_infer(rng):
+    """Qwen backbone branch (reference __init__.py:27-29 + builder.py:128):
+    name-based detection selects the ChatML template and a qkv-bias decoder
+    runs the full infer path."""
+    import dataclasses
+
+    cfg = tiny_streammind_config()
+    cfg = cfg.replace(
+        text=dataclasses.replace(
+            cfg.text, qkv_bias=True, tie_word_embeddings=True,
+            rope_theta=1_000_000.0,
+        )
+    )
+    tok = SPLikeTokenizer()
+    model, _, tok, version = streammind_tpu.model_init(
+        model_name="StreamMind-Qwen2-tiny", cfg=cfg, tokenizer=tok,
+        dtype=jax.numpy.float32,
+    )
+    assert version == "qwen"
+    assert "bias" in model.params["text"]["layers"]["q"]
+    size = model.cfg.vision.image_size
+    video = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+    out = streammind_tpu.infer(
+        model, video, "What is happening?", tok, version=version,
+        max_new_tokens=4,
+    )
+    assert isinstance(out, str)

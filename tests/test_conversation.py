@@ -80,3 +80,17 @@ def test_all_registered_templates_render():
         c.append_message(c.roles[0], "hi")
         c.append_message(c.roles[1], "hello")
         assert isinstance(c.get_prompt(), str)
+
+
+def test_qwen_chatml_template():
+    """Qwen2 ChatML: the reference sets version='qwen' (__init__.py:27-29)
+    but ships no template; ours renders the standard Qwen2 chat format."""
+    conv = conv_templates["qwen"].copy()
+    conv.append_message(conv.roles[0], "describe the video")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    assert prompt == (
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+        "<|im_start|>user\ndescribe the video<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )

@@ -62,6 +62,63 @@ def test_mistral_parity_fp32(hf_mistral):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_qwen2_parity_fp32():
+    """Qwen2 backbone (reference builder.py:128-129): q/k/v biases + tied
+    embeddings must reproduce transformers' Qwen2 forward at fp32."""
+    conf = transformers.Qwen2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(conf).eval()
+    cfg = TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=True, qkv_bias=True,
+    )
+    params = convert_hf_text(_sd_numpy(model), cfg)
+    assert "bias" in params["layers"]["q"] and "lm_head" not in params
+    ids = np.array([[5, 17, 99, 3, 64, 2, 11, 42]])
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    ours, _ = lm.text_forward(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_init_and_cache_shapes():
+    """Scratch init of a qkv_bias config produces bias leaves that the decode
+    path consumes (cache prefill+step smoke)."""
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, qkv_bias=True,
+        tie_word_embeddings=True,
+    )
+    params = lm.init_text_params(jax.random.PRNGKey(0), cfg)
+    assert params["layers"]["q"]["bias"].shape == (2, 32)
+    cache = lm.init_kv_cache(cfg, batch=1, capacity=16, dtype=jnp.float32)
+    ids = jnp.array([[1, 5, 9, 2]])
+    logits, cache = lm.text_forward(params, cfg, input_ids=ids, cache=cache)
+    logits2, cache = lm.text_forward(
+        params, cfg, input_ids=jnp.array([[7]]), cache=cache
+    )
+    assert logits2.shape == (1, 1, 64)
+    full, _ = lm.text_forward(
+        params, cfg, input_ids=jnp.array([[1, 5, 9, 2, 7]])
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits2[0, -1]), np.asarray(full[0, -1]), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_clip_vision_parity_fp32():
     conf = transformers.CLIPVisionConfig(
         hidden_size=32,

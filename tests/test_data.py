@@ -147,3 +147,48 @@ def test_ego4d_multiturn(tok, tmp_path):
     annos = get_annos(str(path))
     assert annos["vid1"][0][0] == 0.5  # grid-ceiled
     assert annos["vid1"][1][0] == 2.0
+
+
+def test_insert_silence_distribution_matches_reference_scheme():
+    """Statistical check against the reference's exact sampling scheme
+    (train_new_stream_1221.py:927-931): for a gap g >= 2 the silence count is
+    randint(1, max(1, g//30)) — uniform over that range — and the silence
+    timestamps are a uniform without-replacement sample of (prev, ts)."""
+    from streammind_tpu.data import insert_silence_samples
+
+    prev, ts = 100, 250          # gap 150 → count uniform on 1..5
+    n_trials = 4000
+    counts = np.zeros(6, dtype=int)
+    pos_sum, pos_n = 0.0, 0
+    for seed in range(n_trials):
+        rng = random.Random(seed)
+        out_ts, out_start, out_cap = insert_silence_samples(
+            [prev, ts], ["a", "b"], rng
+        )
+        sil = [t for t, c in zip(out_ts, out_cap) if c == "</s>"]
+        assert 1 <= len(sil) <= 5
+        assert sil == sorted(sil) and len(set(sil)) == len(sil)
+        assert all(prev < t < ts for t in sil)
+        # silences carry the previous caption's timestamp as window start
+        starts = [s for s, c in zip(out_start, out_cap) if c == "</s>"]
+        assert all(s == prev for s in starts)
+        counts[len(sil)] += 1
+        pos_sum += sum(sil)
+        pos_n += len(sil)
+
+    # count ~ Uniform{1..5}: each bin ≈ n_trials/5, allow ±15%
+    expected = n_trials / 5
+    for k in range(1, 6):
+        assert abs(counts[k] - expected) < 0.15 * expected, counts
+    # positions ~ Uniform(prev+1, ts-1): mean ≈ (prev+ts)/2, allow ±2%
+    mean_pos = pos_sum / pos_n
+    assert abs(mean_pos - (prev + ts) / 2) < 0.02 * (ts - prev)
+
+    # small gap (2 <= g < 30) → exactly one silence, always
+    for seed in range(50):
+        rng = random.Random(seed)
+        out_ts, _, out_cap = insert_silence_samples([0, 5], ["a", "b"], rng)
+        assert out_cap.count("</s>") == 1
+    # gap < 2 → no silence
+    out_ts, _, out_cap = insert_silence_samples([0, 1], ["a", "b"])
+    assert out_cap.count("</s>") == 0
