@@ -107,17 +107,24 @@ def init_reg_block(key, in_c, out_c, dtype=jnp.float32):
 
 
 def reg_block(x, p):
-    shortcut = conv2d(x, p["proj"]) if "proj" in p else x
+    shortcut = x
+    if "proj" in p:
+        shortcut = conv2d(x, p["proj"])
+        # timm's downsample is ConvNormAct(apply_act=False): conv + norm.
+        # Scratch inits omit the norm (identity-affine at init); converted
+        # timm weights carry it as proj_ln.
+        if "proj_ln" in p:
+            shortcut = layer_norm_2d(shortcut, **_ln(p["proj_ln"]))
     y = jax.nn.silu(layer_norm_2d(conv2d(x, p["conv1"]), **_ln(p["ln1"])))
     # depth-wise group count is recoverable from the kernel shape (O, I/g, k, k)
     groups = p["conv2"].shape[0] // p["conv2"].shape[1]
     y = jax.nn.silu(
         layer_norm_2d(conv2d(y, p["conv2"], groups=groups), **_ln(p["ln2"]))
     )
-    # squeeze-excite
+    # squeeze-excite (timm SEModule carries conv biases; scratch init doesn't)
     se = jnp.mean(y, axis=(2, 3), keepdims=True)
-    se = jax.nn.silu(conv2d(se, p["se_fc1"]))
-    se = jax.nn.sigmoid(conv2d(se, p["se_fc2"]))
+    se = jax.nn.silu(conv2d(se, p["se_fc1"], p.get("se_fc1_bias")))
+    se = jax.nn.sigmoid(conv2d(se, p["se_fc2"], p.get("se_fc2_bias")))
     y = y * se
     y = layer_norm_2d(conv2d(y, p["conv3"]), **_ln(p["ln3"]))
     return jax.nn.silu(shortcut + y)

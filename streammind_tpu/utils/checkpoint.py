@@ -181,11 +181,31 @@ def save_tree_orbax(path: str, tree, name: str = "params") -> None:
         ckptr.save(os.path.join(os.path.abspath(path), name + "_orbax"), tree)
 
 
-def load_tree_orbax(path: str, name: str = "params", template=None):
+def load_tree_orbax(path: str, name: str = "params", template=None,
+                    shardings=None):
+    """Restore an orbax tree.
+
+    shardings: optional pytree of jax.sharding.Sharding (same structure as
+    the saved tree, or a prefix thereof via param_specs+NamedSharding).
+    When given, each leaf is restored DIRECTLY into its target sharding —
+    every host reads only its own shards, so a 7B+ tree never has to fit in
+    one host's RAM (the multi-host path the npz store can't serve).
+    """
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         target = os.path.join(os.path.abspath(path), name + "_orbax")
+        if shardings is not None:
+            restore_args = jax.tree_util.tree_map(
+                lambda s: ocp.ArrayRestoreArgs(sharding=s), shardings
+            )
+            return ckptr.restore(
+                target,
+                args=ocp.args.PyTreeRestore(
+                    item=template,
+                    restore_args=restore_args,
+                ),
+            )
         if template is not None:
             return ckptr.restore(target, item=template)
         return ckptr.restore(target)

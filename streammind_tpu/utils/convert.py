@@ -182,6 +182,60 @@ def convert_hf_text(sd: Dict, cfg: TextConfig, dtype=jnp.float32) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# STC/STP connector (timm RegStage naming, reference builder.py:574-760)
+# ---------------------------------------------------------------------------
+def convert_stc_connector(sd: Dict, depth: int = 4, mlp_depth: int = 2,
+                          variant: str = "stc", dtype=jnp.float32) -> Dict:
+    """timm-style STCConnector state dict → our connectors tree.
+
+    The reference builds RegStage(norm_layer=LayerNorm2d, act_layer=SiLU)
+    (builder.py:593-601), so timm's 'bn' keys hold LayerNorm2d affines here.
+    Keys: s{1,2}.b{n}.{conv1,conv2,conv3}.{conv.weight,bn.weight,bn.bias},
+    .se.fc{1,2}.{weight,bias}, .downsample.{conv.weight,bn.*} (first block of
+    s1 when widths differ), sampler.0.{weight,bias} (stc variants),
+    readout.{0,2,...}.{weight,bias}.  cls_net.* keys (the reference embeds
+    its gate in the connector) are ignored — the gate is a separate
+    component in this framework."""
+    g = lambda k: jnp.asarray(sd[k], dtype)
+
+    def block(prefix):
+        p = {
+            "conv1": g(prefix + ".conv1.conv.weight"),
+            "ln1": {"weight": g(prefix + ".conv1.bn.weight"),
+                    "bias": g(prefix + ".conv1.bn.bias")},
+            "conv2": g(prefix + ".conv2.conv.weight"),
+            "ln2": {"weight": g(prefix + ".conv2.bn.weight"),
+                    "bias": g(prefix + ".conv2.bn.bias")},
+            "se_fc1": g(prefix + ".se.fc1.weight"),
+            "se_fc1_bias": g(prefix + ".se.fc1.bias"),
+            "se_fc2": g(prefix + ".se.fc2.weight"),
+            "se_fc2_bias": g(prefix + ".se.fc2.bias"),
+            "conv3": g(prefix + ".conv3.conv.weight"),
+            "ln3": {"weight": g(prefix + ".conv3.bn.weight"),
+                    "bias": g(prefix + ".conv3.bn.bias")},
+        }
+        if prefix + ".downsample.conv.weight" in sd:
+            p["proj"] = g(prefix + ".downsample.conv.weight")
+            p["proj_ln"] = {"weight": g(prefix + ".downsample.bn.weight"),
+                            "bias": g(prefix + ".downsample.bn.bias")}
+        return p
+
+    out = {
+        "s1": [block(f"s1.b{i + 1}") for i in range(depth)],
+        "s2": [block(f"s2.b{i + 1}") for i in range(depth)],
+        "readout": [
+            {"weight": g(f"readout.{2 * i}.weight"),
+             "bias": g(f"readout.{2 * i}.bias")}
+            for i in range(mlp_depth)
+        ],
+    }
+    if variant in ("stc", "stc_v35"):
+        out["sampler"] = {"weight": g("sampler.0.weight"),
+                          "bias": g("sampler.0.bias")}
+    return out
+
+
+# ---------------------------------------------------------------------------
 # mm_projector (Video_Mamba_seq torch module naming)
 # ---------------------------------------------------------------------------
 def convert_projector(sd: Dict, cfg: StreamMindConfig, dtype=jnp.float32) -> Dict:

@@ -112,3 +112,28 @@ def test_orbax_roundtrip(tmp_path):
     loaded = load_tree_orbax(str(tmp_path))
     np.testing.assert_array_equal(np.asarray(loaded["a"]), np.asarray(tree["a"]))
     assert jnp.asarray(loaded["b"]["c"]).dtype == jnp.bfloat16
+
+
+def test_orbax_sharded_restore(tmp_path):
+    """Multi-host path: restore leaves DIRECTLY into target shardings so no
+    host stages the full tree (conftest pins an 8-device CPU mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from streammind_tpu.utils.checkpoint import load_tree_orbax, save_tree_orbax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    tree = {
+        "w": jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+        "b": jnp.ones((8,), jnp.float32),
+    }
+    save_tree_orbax(str(tmp_path), tree)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("fsdp", "tp"))
+    shardings = {
+        "w": NamedSharding(mesh, P("fsdp", "tp")),
+        "b": NamedSharding(mesh, P("tp")),
+    }
+    out = load_tree_orbax(str(tmp_path), shardings=shardings)
+    assert out["w"].sharding == shardings["w"]
+    assert out["b"].sharding == shardings["b"]
+    assert out["w"].addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(tree["w"]))

@@ -162,3 +162,109 @@ def test_lora_merge():
     np.testing.assert_allclose(
         merged["model.layers.0.self_attn.q_proj.weight"], W + 0.5 * (B @ A), rtol=1e-6
     )
+
+
+def test_stc_connector_timm_weight_interop():
+    """convert_stc_connector loads a timm-style STCConnector state dict
+    (reference builder.py:574-700: RegStage(norm_layer=LayerNorm2d,
+    act_layer=SiLU) + Conv3d sampler + MLP readout) and reproduces the torch
+    forward at fp32.  timm isn't installed here, so the torch side is a
+    minimal mirror of timm's Bottleneck with identical state-dict naming."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class LayerNorm2d(nn.LayerNorm):
+        def __init__(self, c):
+            super().__init__(c, eps=1e-6)
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)
+            x = F.layer_norm(x, self.normalized_shape, self.weight, self.bias, self.eps)
+            return x.permute(0, 3, 1, 2)
+
+    class ConvNormAct(nn.Module):
+        def __init__(self, i, o, k, groups=1, act=True):
+            super().__init__()
+            self.conv = nn.Conv2d(i, o, k, padding=k // 2, groups=groups, bias=False)
+            self.bn = LayerNorm2d(o)  # timm names the norm 'bn' regardless
+            self.act = nn.SiLU() if act else nn.Identity()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class SE(nn.Module):
+        def __init__(self, c, rd):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, rd, 1)
+            self.fc2 = nn.Conv2d(rd, c, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            return x * torch.sigmoid(self.fc2(F.silu(self.fc1(s))))
+
+    class Bottleneck(nn.Module):
+        def __init__(self, i, o, groups):
+            super().__init__()
+            self.conv1 = ConvNormAct(i, o, 1)
+            self.conv2 = ConvNormAct(o, o, 3, groups=groups)
+            self.se = SE(o, max(int(i * 0.25), 1))
+            self.conv3 = ConvNormAct(o, o, 1, act=False)
+            self.downsample = ConvNormAct(i, o, 1, act=False) if i != o else None
+            self.act3 = nn.SiLU()
+
+        def forward(self, x):
+            sc = self.downsample(x) if self.downsample is not None else x
+            return self.act3(self.conv3(self.se(self.conv2(self.conv1(x)))) + sc)
+
+    class Stage(nn.Module):
+        def __init__(self, depth, i, o, groups):
+            super().__init__()
+            for n in range(depth):
+                setattr(self, f"b{n + 1}", Bottleneck(i if n == 0 else o, o, groups))
+            self.depth = depth
+
+        def forward(self, x):
+            for n in range(self.depth):
+                x = getattr(self, f"b{n + 1}")(x)
+            return x
+
+    enc, hid, depth = 16, 32, 2
+    class TorchSTC(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.s1 = Stage(depth, enc, hid, groups=4)
+            self.sampler = nn.Sequential(
+                nn.Conv3d(hid, hid, 2, stride=2, padding=1), nn.SiLU()
+            )
+            self.s2 = Stage(depth, hid, hid, groups=4)
+            self.readout = nn.Sequential(
+                nn.Linear(hid, hid), nn.GELU(), nn.Linear(hid, hid)
+            )
+
+        def forward(self, x):  # (B, T, L, D)
+            b, t, l, d = x.shape
+            hw = int(l ** 0.5)
+            x = x.reshape(b, t, hw, hw, d).permute(0, 4, 1, 2, 3)
+            x = x.permute(0, 2, 1, 3, 4).reshape(b * t, d, hw, hw)
+            x = self.s1(x)
+            x = x.reshape(b, t, hid, hw, hw).permute(0, 2, 1, 3, 4)
+            x = self.sampler(x)
+            nt, nh, nw = x.shape[2:]
+            x = x.permute(0, 2, 1, 3, 4).reshape(b * nt, hid, nh, nw)
+            x = self.s2(x)
+            x = x.reshape(b, nt, hid, nh, nw).permute(0, 1, 3, 4, 2)
+            return self.readout(x.reshape(b, nt * nh * nw, hid))
+
+    torch.manual_seed(3)
+    model = TorchSTC().eval()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 16, enc)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x)).numpy()
+
+    from streammind_tpu.models.connectors import stc_forward
+    from streammind_tpu.utils.convert import convert_stc_connector
+
+    params = convert_stc_connector(_sd_numpy(model), depth=depth, mlp_depth=2)
+    ours = stc_forward(jnp.asarray(x), params, variant="stc")
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
