@@ -12,8 +12,9 @@ engine.  No torch anywhere on this path.
 """
 from __future__ import annotations
 
+import math
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -159,6 +160,87 @@ def create_photo_grid(frames: Sequence["Image.Image"], n: int = 2) -> "Image.Ima
 
 
 # ---------------------------------------------------------------------------
+# AnyRes: high-resolution single images as a best-fit grid of crops
+# (reference mm_utils.py:123-232; constants.GRIDS lists the candidate grids)
+# ---------------------------------------------------------------------------
+def select_best_resolution(
+    original_size: Tuple[int, int], possible_resolutions: Sequence[Tuple[int, int]]
+) -> Tuple[int, int]:
+    """Pick the candidate (w, h) that keeps the most effective pixels after
+    aspect-preserving downscale, breaking ties by least wasted area
+    (reference mm_utils.py:123-146)."""
+    ow, oh = original_size
+    best, best_eff, best_waste = None, 0, float("inf")
+    for w, h in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = w * h - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (w, h), eff, waste
+    return best
+
+
+def resize_and_pad_image(
+    img: "Image.Image", target_resolution: Tuple[int, int]
+) -> "Image.Image":
+    """Aspect-preserving resize onto a black canvas of target_resolution,
+    centered (reference mm_utils.py:148-175)."""
+    ow, oh = img.size
+    tw, th = target_resolution
+    scale_w, scale_h = tw / ow, th / oh
+    if scale_w < scale_h:
+        nw, nh = tw, min(math.ceil(oh * scale_w), th)
+    else:
+        nh, nw = th, min(math.ceil(ow * scale_h), tw)
+    resized = img.resize((nw, nh))
+    canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+    canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+    return canvas
+
+
+def divide_to_patches(img: "Image.Image", patch_size: int) -> List["Image.Image"]:
+    """Row-major patch_size×patch_size crops (reference mm_utils.py:177-193)."""
+    w, h = img.size
+    return [
+        img.crop((j, i, j + patch_size, i + patch_size))
+        for i in range(0, h, patch_size)
+        for j in range(0, w, patch_size)
+    ]
+
+
+def get_anyres_image_grid_shape(
+    image_size: Tuple[int, int], grids, patch_size: int
+) -> Tuple[int, int]:
+    """(cols, rows) of the patch grid the image maps onto
+    (reference mm_utils.py:195-210)."""
+    if isinstance(grids, str):
+        import ast
+
+        grids = ast.literal_eval(grids)
+    resolutions = [(x * patch_size, y * patch_size) for x, y in grids]
+    w, h = select_best_resolution(image_size, resolutions)
+    return w // patch_size, h // patch_size
+
+
+def process_anyres_image(
+    img: "Image.Image", grids, patch_size: int
+) -> List["Image.Image"]:
+    """Split a high-res image into [global thumbnail] + best-fit grid crops,
+    each patch_size² (reference mm_utils.py:213-232).  Feed the result as a
+    frame batch to the vision tower; the splice's multi-slot plans place the
+    resulting token groups."""
+    if isinstance(grids, str):
+        import ast
+
+        grids = ast.literal_eval(grids)
+    resolutions = [(x * patch_size, y * patch_size) for x, y in grids]
+    best = select_best_resolution(img.size, resolutions)
+    patches = divide_to_patches(resize_and_pad_image(img, best), patch_size)
+    thumb = resize_and_pad_image(img, (patch_size, patch_size))
+    return [thumb] + patches
+
+
+# ---------------------------------------------------------------------------
 # Video decode
 # ---------------------------------------------------------------------------
 def read_video_frames(video_path: str, frame_ids: Sequence[int]) -> np.ndarray:
@@ -254,11 +336,20 @@ def process_video(
 def process_image(
     image: Union[str, "Image.Image", np.ndarray], aspect_ratio: str = "pad"
 ) -> np.ndarray:
-    """Image → (1, 3, 336, 336) float32 pixel values."""
+    """Image → (N, 3, 336, 336) float32 pixel values.
+
+    aspect_ratio "anyres" returns the thumbnail + best-fit grid crops as a
+    batch (reference process_anyres_image, mm_utils.py:213-232); otherwise a
+    single frame (N=1), square-padded when "pad"."""
     if isinstance(image, str):
         image = Image.open(image)
     elif isinstance(image, np.ndarray):
         image = Image.fromarray(image)
+    if aspect_ratio == "anyres":
+        from .constants import GRIDS
+
+        crops = process_anyres_image(image.convert("RGB"), GRIDS, 336)
+        return clip_preprocess(crops, pad_square=False)
     return clip_preprocess([image], pad_square=(aspect_ratio == "pad"))
 
 

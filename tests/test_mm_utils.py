@@ -84,3 +84,63 @@ def test_expand2square_and_preprocess():
     assert out.dtype == np.float32
     # padded rows should be near the normalized mean-fill color ~ 0
     assert abs(out[0, 1, 0, 28]) < 0.1  # green channel of mean-colored pad
+
+
+def test_select_best_resolution():
+    from streammind_tpu.mm_utils import select_best_resolution
+
+    # wide image → wide grid wins (most effective pixels kept)
+    grids = [(336, 336), (672, 336), (336, 672), (672, 672)]
+    assert select_best_resolution((800, 400), grids) == (672, 336)
+    assert select_best_resolution((400, 800), grids) == (336, 672)
+    # square small image → ties on effective pixels, least waste wins
+    assert select_best_resolution((100, 100), grids) == (336, 336)
+
+
+def test_resize_and_pad_image_centers_and_preserves_aspect():
+    from PIL import Image
+
+    from streammind_tpu.mm_utils import resize_and_pad_image
+
+    img = Image.new("RGB", (200, 100), (255, 0, 0))
+    out = resize_and_pad_image(img, (336, 336))
+    assert out.size == (336, 336)
+    arr = np.asarray(out)
+    # red band vertically centered, black bars above/below
+    assert arr[168, 168, 0] == 255
+    assert (arr[0] == 0).all() and (arr[-1] == 0).all()
+
+
+def test_process_anyres_image_thumb_plus_patches():
+    from PIL import Image
+
+    from streammind_tpu.constants import GRIDS
+    from streammind_tpu.mm_utils import (
+        get_anyres_image_grid_shape,
+        process_anyres_image,
+    )
+
+    img = Image.new("RGB", (700, 340), (0, 128, 0))
+    patches = process_anyres_image(img, GRIDS, 336)
+    cols, rows = get_anyres_image_grid_shape(img.size, GRIDS, 336)
+    # (3,1) beats (2,1): height-limited scale keeps more effective pixels
+    assert (cols, rows) == (3, 1)
+    # [global thumbnail] + rows*cols crops, all patch-sized
+    assert len(patches) == 1 + rows * cols
+    assert all(p.size == (336, 336) for p in patches)
+    # grids may also arrive as a string literal (reference accepts both)
+    patches2 = process_anyres_image(img, "[(2, 2), (1, 2), (3, 1)]", 336)
+    assert len(patches2) == len(patches)
+
+
+def test_process_image_anyres_batch():
+    from PIL import Image
+
+    from streammind_tpu.mm_utils import process_image
+
+    img = Image.new("RGB", (700, 340), (30, 60, 90))
+    out = process_image(img, aspect_ratio="anyres")
+    # thumbnail + 3x1 grid crops
+    assert out.shape == (4, 3, 336, 336)
+    single = process_image(img, aspect_ratio="pad")
+    assert single.shape == (1, 3, 336, 336)
