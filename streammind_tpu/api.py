@@ -24,7 +24,12 @@ import numpy as np
 from .config import StreamMindConfig
 from .constants import DEFAULT_MMODAL_TOKEN, MMODAL_TOKEN_INDEX, NUM_FRAMES
 from .conversation import SeparatorStyle, conv_templates
-from .mm_utils import get_model_name_from_path, process_video, tokenizer_multimodal_token
+from .mm_utils import (
+    get_model_name_from_path,
+    process_video,
+    tokenizer_multimodal_token,
+    trim_at_stop_strings,
+)
 from .models import projector as proj_mod
 from .models.meta import build_splice_plan, bucket_length, encode_frames, init_streammind_params
 from .streaming.engine import StreamMindEngine, StreamSession
@@ -206,9 +211,10 @@ def infer(
     if not hasattr(tokenizer, "decode"):
         return ""
     try:
-        return tokenizer.decode(tokens, skip_special_tokens=True).strip()
+        text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
     except TypeError:  # minimal tokenizers without the HF kwarg
-        return tokenizer.decode(tokens).strip()
+        text = tokenizer.decode(tokens).strip()
+    return trim_at_stop_strings(text, _stop_strings(version))
 
 
 def infer_beams(
@@ -233,10 +239,26 @@ def infer_beams(
     out = []
     for tokens, _score in beams:
         try:
-            out.append(tokenizer.decode(tokens, skip_special_tokens=True).strip())
+            text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
         except TypeError:
-            out.append(tokenizer.decode(tokens).strip())
+            text = tokenizer.decode(tokens).strip()
+        out.append(trim_at_stop_strings(text, _stop_strings(version)))
     return out
+
+
+def _stop_strings(version: str) -> list:
+    """Template separator to trim from decoded text — the reference's
+    KeywordsStoppingCriteria keyword choice (eval scripts: conv.sep for
+    SINGLE/MPT styles, conv.sep2 otherwise).  qwen's <|im_end|> is often not
+    a tokenizer special token, so text-level trimming is load-bearing there."""
+    conv = conv_templates.get(version)
+    if conv is None:
+        return []
+    if conv.sep_style in (SeparatorStyle.SINGLE, SeparatorStyle.MPT):
+        stop = conv.sep.strip()
+    else:
+        stop = conv.sep2
+    return [stop] if stop else []
 
 
 def engine_dtype(model: StreamMindModel):

@@ -390,6 +390,16 @@ def tokenizer_multimodal_token(
     return input_ids
 
 
+def trim_at_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
+    """Cut generated text at the first stop keyword (host-side analogue of
+    the reference's KeywordsStoppingCriteria, mm_utils.py:616-647 — we stop
+    decode on EOS on-device and trim template separators textually)."""
+    for s in stop_strings:
+        if s and s in text:
+            text = text.split(s)[0]
+    return text.strip()
+
+
 def get_model_name_from_path(model_path: str) -> str:
     parts = model_path.strip("/").split("/")
     if parts[-1].startswith("checkpoint-"):

@@ -144,3 +144,17 @@ def test_process_image_anyres_batch():
     assert out.shape == (4, 3, 336, 336)
     single = process_image(img, aspect_ratio="pad")
     assert single.shape == (1, 3, 336, 336)
+
+
+def test_trim_at_stop_strings():
+    from streammind_tpu.api import _stop_strings
+    from streammind_tpu.mm_utils import trim_at_stop_strings
+
+    assert _stop_strings("qwen") == ["<|im_end|>"]
+    assert _stop_strings("llama_2") == ["</s>"]
+    assert _stop_strings("unregistered") == []
+    out = trim_at_stop_strings(
+        "answer<|im_end|>\n<|im_start|>user junk", _stop_strings("qwen")
+    )
+    assert out == "answer"
+    assert trim_at_stop_strings("no stops here", ["</s>"]) == "no stops here"
