@@ -390,6 +390,54 @@ def tokenizer_multimodal_token(
     return input_ids
 
 
+def merge_scenes(
+    cut_list,
+    cut_scores: Sequence[float],
+    scene_list,
+    num_frames: int,
+    max_scene_num: int = 4,
+    num_frame_per_scene: int = 8,
+) -> List[np.ndarray]:
+    """Scene-based frame sampling (reference mm_utils.py:22-68, unused
+    upstream but part of the inventory): greedily merge the weakest cuts
+    until <= max_scene_num scenes remain, then sample num_frame_per_scene
+    evenly spaced frames per scene.  cut_list entries may be ints or
+    PySceneDetect-style objects exposing .get_frames()."""
+    if len(scene_list) == 0 and len(cut_list) == 0:
+        return [np.linspace(0, num_frames - 1, num_frame_per_scene, dtype=int)]
+
+    scene_list, cut_results = merge_scenes_not_exceed_max_scene_num(
+        cut_list, cut_scores, scene_list, max_scene_num
+    )
+
+    prev = 0
+    out: List[np.ndarray] = []
+    cur = prev
+    for cur, _score in cut_results:
+        out.append(np.linspace(prev, cur - 1, num_frame_per_scene, dtype=int))
+        prev = cur
+    if cur < num_frames:
+        out.append(np.linspace(cur, num_frames - 1, num_frame_per_scene, dtype=int))
+    return out
+
+
+def merge_scenes_not_exceed_max_scene_num(
+    cut_list, cut_scores: Sequence[float], scene_list, max_scene_num: int
+):
+    """Drop the lowest-score cut and fuse its two neighbour scenes until at
+    most max_scene_num scenes remain (reference mm_utils.py:42-67)."""
+    frames = [c.get_frames() if hasattr(c, "get_frames") else c for c in cut_list]
+    scores = list(cut_scores)
+    scenes = list(scene_list)
+    while len(scenes) > max_scene_num:
+        i = int(np.argmin(scores))
+        frames.pop(i)
+        scores.pop(i)
+        merged = (scenes[i][0], scenes[i + 1][1])
+        scenes = scenes[:i] + [merged] + scenes[i + 2:]
+    return scenes, list(zip(frames, scores))
+
+
 def trim_at_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
     """Cut generated text at the first stop keyword (host-side analogue of
     the reference's KeywordsStoppingCriteria, mm_utils.py:616-647 — we stop

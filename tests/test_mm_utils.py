@@ -158,3 +158,20 @@ def test_trim_at_stop_strings():
     )
     assert out == "answer"
     assert trim_at_stop_strings("no stops here", ["</s>"]) == "no stops here"
+
+
+def test_merge_scenes():
+    from streammind_tpu.mm_utils import merge_scenes
+
+    # no cuts → one uniform window
+    out = merge_scenes([], [], [], num_frames=40, num_frame_per_scene=4)
+    assert len(out) == 1 and list(out[0]) == [0, 13, 26, 39]
+
+    # 5 scenes, max 3 → the two weakest cuts (scores 0.1, 0.2) are fused
+    cuts = [10, 20, 30, 40]
+    scores = [0.9, 0.1, 0.8, 0.2]
+    scenes = [(0, 10), (10, 20), (20, 30), (30, 40), (40, 50)]
+    out = merge_scenes(cuts, scores, scenes, num_frames=50,
+                       max_scene_num=3, num_frame_per_scene=2)
+    # surviving cuts 10, 30 → windows [0,10) [10,30) [30,50)
+    assert [list(w) for w in out] == [[0, 9], [10, 29], [30, 49]]
