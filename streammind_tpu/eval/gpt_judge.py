@@ -56,6 +56,20 @@ _SYSTEM_PROMPTS = {
         "task is to compare two predicted answers to similar questions and "
         "determine whether they are consistent with each other and the correct answer."
     ),
+    # MSVC multi-reference captioning judges
+    # (reference eval_video_cap_msvc_correctness.py:55-75 / _detailedness.py)
+    "msvc_correctness": (
+        "You are an intelligent chatbot designed for evaluating the factual "
+        "accuracy of generative outputs for video-based question-answer pairs. "
+        "Your task is to compare the predicted answer with a list of correct "
+        "human-annotated answers and determine if they are factually consistent."
+    ),
+    "msvc_detailedness": (
+        "You are an intelligent chatbot designed for evaluating the detailedness "
+        "of generative outputs for video captioning. Your task is to compare the "
+        "predicted caption with a list of human-annotated captions and determine "
+        "its level of detail, considering both completeness and specificity."
+    ),
 }
 
 
@@ -91,6 +105,18 @@ _USER_ASKS = {
         "are consistent with each other and with the correct answer. Provide a "
         "consistency score between 0 and 5. "
     ),
+    "msvc_correctness": (
+        "Evaluate the factual accuracy of the prediction against the reference "
+        "answers; synonyms and paraphrases count as valid matches. Provide your "
+        "evaluation only as a factual accuracy score between 0 and 5, with 5 "
+        "indicating the highest factual consistency. "
+    ),
+    "msvc_detailedness": (
+        "Evaluate how completely and specifically the predicted caption covers "
+        "the content of the reference captions. Provide your evaluation only as "
+        "a detailedness score between 0 and 5, with 5 indicating the highest "
+        "level of detail. "
+    ),
 }
 
 _FORMAT_ASK = (
@@ -100,6 +126,15 @@ _FORMAT_ASK = (
     "DO NOT PROVIDE ANY OTHER OUTPUT TEXT OR EXPLANATION. Only provide the Python "
     "dictionary string. "
     "For example, your response should look like this: {'pred': 'yes', 'score': 4.8}."
+)
+
+# MSVC judges return a score-only dict (reference msvc_correctness.py:71-75)
+_FORMAT_ASK_SCORE_ONLY = (
+    "Please generate the response in the form of a Python dictionary string with "
+    "keys 'score', where its value is the score in INTEGER, not STRING."
+    "DO NOT PROVIDE ANY OTHER OUTPUT TEXT OR EXPLANATION. Only provide the Python "
+    "dictionary string. For example, your response should look like this: "
+    "{'score': 4}."
 )
 
 
@@ -120,6 +155,15 @@ def build_judge_messages(question: str, answer: str, pred: str,
             f"Predicted Answer to Question 1: {pred}\n"
             f"Predicted Answer to Question 2: {pred2}\n\n"
         )
+    elif dimension.startswith("msvc_"):
+        # multi-reference captioning: answer is a list of human captions
+        refs = answer if isinstance(answer, (list, tuple)) else [answer]
+        body = (
+            "Please evaluate the following video-based question-answer pair:\n\n"
+            f"Question: {question}\n"
+            f"Correct Answers: {list(refs)}\n"
+            f"Predicted Answer: {pred}\n\n"
+        )
     else:
         body = (
             "Please evaluate the following video-based question-answer pair:\n\n"
@@ -127,7 +171,8 @@ def build_judge_messages(question: str, answer: str, pred: str,
             f"Correct Answer: {answer}\n"
             f"Predicted Answer: {pred}\n\n"
         )
-    user = body + _USER_ASKS[dimension] + _FORMAT_ASK
+    fmt = _FORMAT_ASK_SCORE_ONLY if dimension.startswith("msvc_") else _FORMAT_ASK
+    user = body + _USER_ASKS[dimension] + fmt
     return [
         {"role": "system", "content": _SYSTEM_PROMPTS[dimension]},
         {"role": "user", "content": user},

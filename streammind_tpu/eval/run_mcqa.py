@@ -54,9 +54,50 @@ def format_mcqa_question(question: str, options: List[str]) -> str:
     return "\n".join(lines)
 
 
+def parse_srt(path: str) -> List[tuple]:
+    """Minimal .srt parser → [(start_ms, end_ms, text)] (pysubs2 stand-in;
+    the reference loads VideoMME subtitles with pysubs2, videomme.py:105)."""
+    def to_ms(ts: str) -> int:
+        hh, mm, rest = ts.strip().split(":")
+        ss, ms = rest.replace(".", ",").split(",")
+        return ((int(hh) * 60 + int(mm)) * 60 + int(ss)) * 1000 + int(ms)
+
+    out = []
+    with open(path, encoding="utf-8", errors="replace") as f:
+        block: List[str] = []
+        for line in list(f) + [""]:
+            line = line.strip("﻿").rstrip("\n")
+            if line.strip():
+                block.append(line)
+                continue
+            if len(block) >= 2 and "-->" in block[1]:
+                start, _, end = block[1].partition("-->")
+                text = " ".join(block[2:]).strip()
+                if text:
+                    out.append((to_ms(start), to_ms(end), text))
+            block = []
+    return out
+
+
+def subtitles_for_window(subs: List[tuple], duration_ms: int,
+                         num_frames: int) -> str:
+    """Keep subtitles overlapping the uniformly sampled frame instants
+    (reference videomme.py:106-116) and join them with newlines."""
+    if not subs or duration_ms <= 0:
+        return ""
+    instants = [int((i + 0.5) * duration_ms / num_frames) for i in range(num_frames)]
+    keep, seen = [], set()
+    for start, end, text in subs:
+        if any(start <= t <= end for t in instants) and text not in seen:
+            keep.append(text)
+            seen.add(text)
+    return "\n".join(keep)
+
+
 def run_inference(model, tokenizer, records: List[Dict], benchmark: str,
                   video_root: str, processor, num_frames: int = 8,
-                  version: str = "llama_2") -> Iterator[Dict]:
+                  version: str = "llama_2",
+                  subtitle_root: str = None) -> Iterator[Dict]:
     from ..api import x_infer
 
     vkey, qkey, okey, akey, tkey = _FIELDS[benchmark]
@@ -73,6 +114,19 @@ def run_inference(model, tokenizer, records: List[Dict], benchmark: str,
             yield {**rec, "pred": "", "gt": gt, "error": str(e)}
             continue
         question = format_mcqa_question(rec[qkey], options)
+        if subtitle_root:
+            # VideoMME "with subtitles" track (reference videomme.py:88-118)
+            srt = os.path.join(subtitle_root, f"{rec[vkey]}.srt")
+            subtitle = ""
+            if os.path.exists(srt):
+                subs = parse_srt(srt)
+                dur = rec.get("duration_ms") or (subs[-1][1] if subs else 0)
+                subtitle = subtitles_for_window(subs, dur, num_frames)
+            if subtitle:
+                question = (
+                    f"This video's subtitles are listed below:\n{subtitle}\n"
+                    + question
+                )
         response = x_infer(video, question, model, tokenizer, mode="mcqa",
                            version=version)
         yield {
@@ -108,6 +162,9 @@ def main():
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--score-only", action="store_true")
+    parser.add_argument("--subtitle-root", default=None,
+                        help="VideoMME: dir of {videoID}.srt for the "
+                             "with-subtitles track")
     args = parser.parse_args()
 
     if args.score_only:
@@ -127,6 +184,7 @@ def main():
         for row in run_inference(
             model, tokenizer, records, args.benchmark, args.video_root,
             processor, args.num_frames, version=version,
+            subtitle_root=args.subtitle_root,
         ):
             out.write(json.dumps(row) + "\n")
     print(json.dumps(score_answers(args.answer_file), indent=2))

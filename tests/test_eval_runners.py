@@ -127,3 +127,48 @@ def test_lta_metric():
     # all-wrong → ED 1
     out2 = score_lta([["put cup, put cup"]], [[0, 2]], [[0, 1]], vv, nv)
     assert out2["verb_ed"] == 1.0
+
+
+def test_parse_srt_and_subtitle_window(tmp_path):
+    from streammind_tpu.eval.run_mcqa import parse_srt, subtitles_for_window
+
+    srt = tmp_path / "vid.srt"
+    srt.write_text(
+        "1\n00:00:01,000 --> 00:00:03,000\nhello there\n\n"
+        "2\n00:00:10,500 --> 00:00:12,000\nsecond line\nwrapped\n\n"
+        "3\n00:01:00,000 --> 00:01:02,000\nlate line\n\n",
+        encoding="utf-8",
+    )
+    subs = parse_srt(str(srt))
+    assert subs == [
+        (1000, 3000, "hello there"),
+        (10500, 12000, "second line wrapped"),
+        (60000, 62000, "late line"),
+    ]
+    # 4 frames over 8s: instants 1s,3s,5s,7s → only the first cue overlaps
+    text = subtitles_for_window(subs, 8000, 4)
+    assert text == "hello there"
+    # whole video → all three cues
+    assert subtitles_for_window(subs, 62000, 62).count("\n") == 2
+    assert subtitles_for_window([], 1000, 4) == ""
+
+
+def test_msvc_judge_messages():
+    from streammind_tpu.eval.gpt_judge import (
+        build_judge_messages,
+        parse_judge_response,
+    )
+
+    msgs = build_judge_messages(
+        "Describe the video.", ["a cat runs", "a kitten sprints"],
+        "a cat is running", dimension="msvc_correctness",
+    )
+    assert "Correct Answers: ['a cat runs', 'a kitten sprints']" in msgs[1]["content"]
+    assert "keys 'score'" in msgs[1]["content"]
+    assert "'pred'" not in msgs[1]["content"].split("DO NOT")[0].split("keys")[1]
+    # score-only responses parse with pred defaulting to 'no'
+    v = parse_judge_response("{'score': 4}")
+    assert v["score"] == 4.0 and v["pred"] == "no"
+    # detailedness variant renders too
+    msgs2 = build_judge_messages("q", ["r1"], "p", dimension="msvc_detailedness")
+    assert "detailedness score" in msgs2[1]["content"]
