@@ -36,14 +36,20 @@ def dequantize_linear_weight(p: dict, dtype=jnp.float32) -> jax.Array:
 def quantize_gate_params(cls_net_params: dict) -> dict:
     """Quantize every attention/MLP projection of the gate LM in place
     (embeddings, norms and the 2-way lm_head stay full precision)."""
+    def quant(leaf: dict) -> dict:
+        q = quantize_linear_weight(leaf["weight"])
+        if "bias" in leaf:  # qkv-bias backbones (Qwen2): bias stays fp
+            q["bias"] = leaf["bias"]
+        return q
+
     out = dict(cls_net_params)
     layers = dict(out["layers"])
     for name in ("q", "k", "v", "o"):
-        layers[name] = quantize_linear_weight(layers[name]["weight"])
+        layers[name] = quant(layers[name])
     if "mlp" in layers:
         mlp = dict(layers["mlp"])
         for name in ("gate", "up", "down"):
-            mlp[name] = quantize_linear_weight(mlp[name]["weight"])
+            mlp[name] = quant(mlp[name])
         layers["mlp"] = mlp
     out["layers"] = layers
     return out

@@ -185,3 +185,29 @@ def test_video_mamba_chunked_continuation(rng):
     y3a, sta = mamba_mod.video_mamba_forward(params, cfg, x[:, :2])
     y3b, stb = mamba_mod.video_mamba_forward(params, cfg, x[:, 2:3], state=sta)
     np.testing.assert_allclose(np.asarray(y3b), np.asarray(y_full[:, 2:3]), rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_gate_preserves_qkv_bias():
+    """int8 gate quantization keeps fp bias leaves (qwen-style backbones);
+    linear() applies bias after the dequant-fused dot."""
+    import numpy as np
+
+    from streammind_tpu.config import TextConfig
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.utils.params import linear
+    from streammind_tpu.utils.quantize import quantize_gate_params
+
+    cfg = TextConfig(vocab_size=8, hidden_size=16, intermediate_size=32,
+                     num_layers=2, num_heads=4, num_kv_heads=2, head_dim=4,
+                     qkv_bias=True, tie_word_embeddings=True)
+    params = lm.init_text_params(jax.random.PRNGKey(0), cfg)
+    # give the bias a visible value so dropping it would show
+    params["layers"]["q"]["bias"] = params["layers"]["q"]["bias"] + 0.5
+    qparams = quantize_gate_params(params)
+    assert "bias" in qparams["layers"]["q"]
+    x = jnp.ones((1, 3, 16), jnp.float32)
+    y_fp = linear(x, {k: v[0] for k, v in params["layers"]["q"].items()})
+    y_q = linear(x, {k: v[0] for k, v in qparams["layers"]["q"].items()})
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_fp),
+                               rtol=0.05, atol=0.05)
+    assert float(jnp.abs(y_q).max()) > 0.1  # bias actually applied
