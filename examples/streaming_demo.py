@@ -56,16 +56,25 @@ def main():
     from streammind_tpu.constants import VIDEO_TOKEN_INDEX
     from streammind_tpu.models.meta import init_streammind_params
     from streammind_tpu.streaming import StreamMindEngine, StreamSession
-    from streammind_tpu.utils.params import cast_tree
     from streammind_tpu.utils.profiling import StageProfiler
 
-    cfg = StreamMindConfig() if args.full_size else tiny_streammind_config()
+    if args.full_size:
+        # full perception dims (ViT-L/14-336 + Mamba-4096 + 4-layer gate);
+        # the decoder is cut to 8 layers so the whole bundle fits one v5e
+        # chip's HBM next to the gate (a full 7B leaves no room for both —
+        # cognition latency at true 7B is measured by bench_latency.py)
+        import dataclasses as _dc
+
+        base = StreamMindConfig()
+        cfg = base.replace(text=_dc.replace(base.text, num_layers=8))
+    else:
+        cfg = tiny_streammind_config()
     dtype = jnp.bfloat16 if args.full_size else jnp.float32
     print(f"[demo] config: {'full-size' if args.full_size else 'tiny'}; "
           f"initializing params…")
-    params = cast_tree(
-        init_streammind_params(jax.random.PRNGKey(0), cfg, jnp.float32), dtype
-    )
+    # init directly in the target dtype: a full fp32 tree + cast would
+    # transiently double the footprint and OOM the chip at full size
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg, dtype)
     engine = StreamMindEngine(params, cfg, eos_token_id=2,
                               quantize_gate=args.full_size)
     tok = DemoTokenizer()

@@ -68,16 +68,20 @@ class StreamMindEngine:
         self.kv_capacity = kv_capacity or min(cfg.text.max_position_embeddings, 8192)
         self.attn_impl = attn_impl
 
-        self._perceive = jax.jit(self._perceive_impl, donate_argnums=(1,))
-        self._perceive_batch = jax.jit(self._perceive_batch_impl, donate_argnums=(1,))
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(4,))
-        self._decode = jax.jit(self._decode_impl, static_argnums=(3,), donate_argnums=(1,))
-        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        # params are explicit jit ARGUMENTS, never closure captures: on the
+        # remote-compile (tunneled) platform, arrays captured via `self`
+        # are baked into the program payload — at full size that means
+        # minutes of host serialization and a multi-GB compile request.
+        self._perceive = jax.jit(self._perceive_impl, donate_argnums=(2,))
+        self._perceive_batch = jax.jit(self._perceive_batch_impl, donate_argnums=(2,))
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(5,))
+        self._decode = jax.jit(self._decode_impl, static_argnums=(4,), donate_argnums=(2,))
+        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(2,))
 
     # -- perception -------------------------------------------------------
-    def _perceive_impl(self, pixels, state: StreamState):
+    def _perceive_impl(self, params, pixels, state: StreamState):
         """pixels: (1, 3, H, W) one frame.  Returns (gate_probs, new_state)."""
-        p, cfg = self.params, self.cfg
+        p, cfg = params, self.cfg
         feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
@@ -98,16 +102,16 @@ class StreamMindEngine:
         return gate_probs, new_state
 
     def perceive_step(self, pixels, state: StreamState):
-        return self._perceive(pixels, state)
+        return self._perceive(self.params, pixels, state)
 
-    def _perceive_batch_impl(self, pixels, state: StreamState, feed_mask):
+    def _perceive_batch_impl(self, params, pixels, state: StreamState, feed_mask):
         """Multi-stream perception: pixels (S, 3, H, W), state batched with
         leading stream axis.  One ViT/gate forward amortizes the weight reads
         across all live streams — the continuous-batching half of BASELINE
         config 5.  feed_mask (S,) bool: slots with False (idle/empty this
         tick) keep their carried state untouched.  Returns
         (gate_probs (S, 2), new_state)."""
-        p, cfg = self.params, self.cfg
+        p, cfg = params, self.cfg
         feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
@@ -143,7 +147,7 @@ class StreamMindEngine:
         init_multistream_state)."""
         if feed_mask is None:
             feed_mask = jnp.ones((pixels.shape[0],), bool)
-        return self._perceive_batch(pixels, state, feed_mask)
+        return self._perceive_batch(self.params, pixels, state, feed_mask)
 
     def perceive_burst(self, pixels, state: StreamState):
         """Catch-up path: a burst of T frames for ONE stream in a single
@@ -151,14 +155,14 @@ class StreamMindEngine:
         Mamba forward).  pixels (T, 3, H, W); returns (gate_probs of the
         LAST frame, new_state).  Compiled per frame-count bucket."""
         t = pixels.shape[0]
-        return self._perceive_burst_jit(pixels, state)
+        return self._perceive_burst_jit(self.params, pixels, state)
 
     @functools.cached_property
     def _perceive_burst_jit(self):
-        return jax.jit(self._perceive_burst_impl, donate_argnums=(1,))
+        return jax.jit(self._perceive_burst_impl, donate_argnums=(2,))
 
-    def _perceive_burst_impl(self, pixels, state: StreamState):
-        p, cfg = self.params, self.cfg
+    def _perceive_burst_impl(self, params, pixels, state: StreamState):
+        p, cfg = params, self.cfg
         t = pixels.shape[0]
         feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
         mem_toks, mamba_state = proj.mamba_project_chunk(
@@ -185,14 +189,14 @@ class StreamMindEngine:
         return gate_probs, new_state
 
     # -- cognition --------------------------------------------------------
-    def _prefill_impl(self, token_ids, mem_index, use_mem, memory, cache, real_len):
+    def _prefill_impl(self, params, token_ids, mem_index, use_mem, memory, cache, real_len):
         """Bucketed prefill of a right-padded suffix block.
 
         token_ids/mem_index/use_mem: (1, P); memory: (1, M, D);
         real_len: () int32 — true suffix length.  Returns (next_token_logits,
         cache) with cache advanced by real_len.
         """
-        p, cfg = self.params, self.cfg
+        p, cfg = params, self.cfg
         embeds = splice_embeds(p["text"], token_ids, mem_index, use_mem, memory)
         logits, cache = lm.text_forward(
             p["text"], cfg.text, inputs_embeds=embeds, cache=cache,
@@ -203,14 +207,14 @@ class StreamMindEngine:
         )[:, 0, :]
         return last, cache
 
-    def _decode_impl(self, first_token, cache, eos_id, max_new: int,
+    def _decode_impl(self, params, first_token, cache, eos_id, max_new: int,
                      temperature, rng_key):
         """Decode loop with early EOS exit, fixed token buffer.
 
         temperature <= 0 → greedy; else temperature sampling (the reference
         uses do_sample with temperature 0.2, streammind/__init__.py:84-85).
         """
-        p, cfg = self.params, self.cfg
+        p, cfg = params, self.cfg
 
         def cond(carry):
             i, tok, cache, buf, done, key = carry
@@ -238,10 +242,10 @@ class StreamMindEngine:
         )
         return buf, i, cache
 
-    def _decode_step_impl(self, tok, cache, temperature, rng_key):
+    def _decode_step_impl(self, params, tok, cache, temperature, rng_key):
         """One decode step (for token-streaming callers like the HTTP
         worker): feeds `tok`, returns the next token + updated cache."""
-        p, cfg = self.params, self.cfg
+        p, cfg = params, self.cfg
         logits, cache = lm.text_forward(
             p["text"], cfg.text, input_ids=tok[None, None], cache=cache
         )
@@ -280,13 +284,13 @@ class StreamMindEngine:
             yield int(tok)
             rng_key, sub = jax.random.split(rng_key)
             tok, cache = self._decode_step(
-                tok, cache, jnp.float32(temperature), sub
+                self.params, tok, cache, jnp.float32(temperature), sub
             )
 
-    def _decode_logits_batch(self, toks, cache):
+    def _decode_logits_batch(self, params, toks, cache):
         """(K,) tokens, batch-K cache → ((K, V) logits, cache)."""
         logits, cache = lm.text_forward(
-            self.params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache
+            params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache
         )
         return logits[:, -1, :], cache
 
@@ -308,7 +312,7 @@ class StreamMindEngine:
         Returns a list of (token_list, score) sorted best-first.
         """
         if not hasattr(self, "_beam_step"):
-            self._beam_step = jax.jit(self._decode_logits_batch, donate_argnums=(1,))
+            self._beam_step = jax.jit(self._decode_logits_batch, donate_argnums=(2,))
         n_ret = num_return_sequences or num_beams
 
         cache1 = lm.init_kv_cache(self.cfg.text, 1, self.kv_capacity, kv_dtype)
@@ -335,7 +339,7 @@ class StreamMindEngine:
         for _ in range(max_new_tokens - 1):
             if all(done):
                 break
-            logits, cache = self._beam_step(toks, cache)
+            logits, cache = self._beam_step(self.params, toks, cache)
             logp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
             # finished beams only propose repeating eos at frozen score
             cand = scores[:, None] + logp
@@ -385,6 +389,7 @@ class StreamMindEngine:
     def prefill(self, plan: SplicePlan, memory: jax.Array, cache):
         """Host wrapper: run the bucketed prefill program."""
         last, cache = self._prefill(
+            self.params,
             jnp.asarray(plan.token_ids)[None],
             jnp.asarray(plan.mem_index)[None],
             jnp.asarray(plan.use_mem)[None],
@@ -416,8 +421,8 @@ class StreamMindEngine:
         if bool(first == self.eos_token_id):
             return [], cache
         buf, n, cache = self._decode(
-            first, cache, jnp.int32(self.eos_token_id), max_new_tokens,
-            jnp.float32(temperature), rng_key,
+            self.params, first, cache, jnp.int32(self.eos_token_id),
+            max_new_tokens, jnp.float32(temperature), rng_key,
         )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
 
