@@ -46,6 +46,11 @@ def main():
     parser.add_argument("--fps", type=float, default=2.0)
     parser.add_argument("--gate-threshold", type=float, default=None,
                         help="None = argmax (random-weights demo fires ~50%)")
+    parser.add_argument("--fire-every", type=int, default=0,
+                        help="force a gate fire every N frames (random "
+                             "weights rarely fire deterministically; this "
+                             "demonstrates full cognition turns at the "
+                             "chosen dims)")
     args = parser.parse_args()
 
     import jax
@@ -101,7 +106,8 @@ def main():
         if len(pixels) == 0:
             break
         t0 = time.perf_counter()
-        out = session.process_frame(jnp.asarray(pixels, dtype))
+        force = bool(args.fire_every) and (n + 1) % args.fire_every == 0
+        out = session.process_frame(jnp.asarray(pixels, dtype), force_fire=force)
         dt = time.perf_counter() - t0
         stage = "fire " if out is not None else "frame"
         prof.add("fire" if out is not None else "silence", dt)

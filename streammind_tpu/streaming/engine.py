@@ -302,7 +302,7 @@ class StreamMindEngine:
         max_new_tokens: int = 128,
         num_return_sequences: Optional[int] = None,
         length_penalty: float = 1.0,
-        kv_dtype=jnp.float32,
+        kv_dtype=None,  # None → follow the decoder weights
     ):
         """Beam-search decoding (HF generate(num_beams=K) parity — the
         reference's Ego4D-LTA eval path, inference_video_ego4d_lta_generate.py
@@ -315,6 +315,8 @@ class StreamMindEngine:
             self._beam_step = jax.jit(self._decode_logits_batch, donate_argnums=(2,))
         n_ret = num_return_sequences or num_beams
 
+        if kv_dtype is None:
+            kv_dtype = jax.tree.leaves(self.params["text"])[0].dtype
         cache1 = lm.init_kv_cache(self.cfg.text, 1, self.kv_capacity, kv_dtype)
         last, cache1 = self.prefill(plan, memory, cache1)
         logp0 = jax.nn.log_softmax(last[0].astype(jnp.float32))
@@ -383,7 +385,11 @@ class StreamMindEngine:
         finished.sort(key=lambda p: -p[1])
         return finished[:n_ret]
 
-    def new_kv_cache(self, dtype=jnp.float32):
+    def new_kv_cache(self, dtype=None):
+        """dtype None → follow the decoder weights (a fp32 cache under bf16
+        params breaks the decode scan's carry dtype and doubles KV traffic)."""
+        if dtype is None:
+            dtype = jax.tree.leaves(self.params["text"])[0].dtype
         return lm.init_kv_cache(self.cfg.text, batch=1, capacity=self.kv_capacity, dtype=dtype)
 
     def prefill(self, plan: SplicePlan, memory: jax.Array, cache):
@@ -589,10 +595,15 @@ class StreamSession:
         self.pending_ids: list = list(prompt_ids) if prompt_ids else []
         self.interval_ids: list = []
 
-    def process_frame(self, pixels) -> Optional[str]:
-        """One video frame → None (silence) or the generated utterance."""
+    def process_frame(self, pixels, force_fire: bool = False) -> Optional[str]:
+        """One video frame → None (silence) or the generated utterance.
+
+        force_fire=True overrides the gate for this frame (demos / probing a
+        specific timestamp); perception state still advances normally."""
         gate_probs, self.state = self.engine.perceive_step(pixels, self.state)
-        if self.gate_threshold is None:
+        if force_fire:
+            fire = True
+        elif self.gate_threshold is None:
             fire = bool(np.asarray(gate_probs)[1] > np.asarray(gate_probs)[0])
         else:
             fire = bool(np.asarray(gate_probs)[1] > self.gate_threshold)

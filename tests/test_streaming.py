@@ -345,3 +345,36 @@ def test_quantized_gate_close_to_fp(setup, rng):
         np.testing.assert_allclose(np.asarray(p_q), np.asarray(p_fp), atol=0.08)
         agree += int(np.argmax(np.asarray(p_q)) == np.argmax(np.asarray(p_fp)))
     assert agree >= 7, agree
+
+
+def test_session_cache_follows_param_dtype():
+    """A bf16 model must get a bf16 KV cache by default (a fp32 cache breaks
+    the decode scan's carry dtype) and force_fire must decode a turn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sp_like_tokenizer import SPLikeTokenizer
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.constants import VIDEO_TOKEN_INDEX
+    from streammind_tpu.models.meta import init_streammind_params
+    from streammind_tpu.streaming import StreamMindEngine, StreamSession
+
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    engine = StreamMindEngine(params, cfg, eos_token_id=2)
+    assert engine.new_kv_cache().k.dtype == jnp.bfloat16
+    session = StreamSession(
+        engine, SPLikeTokenizer(),
+        prompt_ids=[1, 10, VIDEO_TOKEN_INDEX, 12], max_new_tokens=4,
+    )
+    assert session.cache.k.dtype == jnp.bfloat16
+    px = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (1, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ), jnp.bfloat16,
+    )
+    out1 = session.process_frame(px)  # gate's own choice
+    out2 = session.process_frame(px, force_fire=True)
+    assert isinstance(out2, str)
+    assert len(session.turns) >= 1
