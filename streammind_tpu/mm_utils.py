@@ -390,6 +390,21 @@ def tokenizer_multimodal_token(
     return input_ids
 
 
+def frame_expansion(frames: Sequence["Image.Image"], n: int) -> "Image.Image":
+    """n×n frame paste-up (reference mm_utils.py:184-196 — same grid as
+    create_photo_grid with an explicit side length)."""
+    return create_photo_grid(frames, n)
+
+
+def load_image_from_base64(data: str) -> "Image.Image":
+    """base64 string → PIL image (reference mm_utils.py:199-200; the serve
+    worker's image transport format)."""
+    import base64
+    from io import BytesIO
+
+    return Image.open(BytesIO(base64.b64decode(data)))
+
+
 def merge_scenes(
     cut_list,
     cut_scores: Sequence[float],

@@ -175,3 +175,19 @@ def test_merge_scenes():
                        max_scene_num=3, num_frame_per_scene=2)
     # surviving cuts 10, 30 → windows [0,10) [10,30) [30,50)
     assert [list(w) for w in out] == [[0, 9], [10, 29], [30, 49]]
+
+
+def test_frame_expansion_and_base64_loader():
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    from streammind_tpu.mm_utils import frame_expansion, load_image_from_base64
+
+    frames = [Image.new("RGB", (10, 10)) for _ in range(4)]
+    assert frame_expansion(frames, 2).size == (20, 20)
+    buf = BytesIO()
+    Image.new("RGB", (7, 5), (1, 2, 3)).save(buf, "PNG")
+    img = load_image_from_base64(base64.b64encode(buf.getvalue()).decode())
+    assert img.size == (7, 5)
