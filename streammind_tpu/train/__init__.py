@@ -4,7 +4,11 @@ from .trainer import (
     cosine_schedule,
     count_trainable,
     init_train_state,
+    make_accum_apply,
+    make_grad_step,
     make_optimizer,
     make_train_step,
     trainable_mask,
+    tree_add,
 )
+from .sampler import LengthGroupedSampler

@@ -41,9 +41,12 @@ from .trainer import (
     cosine_schedule,
     count_trainable,
     init_train_state,
+    make_accum_apply,
+    make_grad_step,
     make_optimizer,
     make_train_step,
     trainable_mask,
+    tree_add,
 )
 
 logger = build_logger("train", "train.log")
@@ -96,15 +99,31 @@ def _encode_frames_frozen(params, cfg, pixels):
     return feats[None]
 
 
-def make_sft_batch(sample, cfg, vision_params):
+def _encode_video(video: np.ndarray, t_bucket: int, cfg, vision_params):
+    """(T,3,H,W) pixels or (T,P,D) features → (1, t_bucket, N, D) features.
+    Pixels are padded to the bucket BEFORE the ViT so the encoder compiles
+    once per bucket (not once per raw frame count); trailing pad frames are
+    harmless — the projector scan is causal and the splice never gathers
+    memory positions past the real span."""
+    t = video.shape[0]
+    if t < t_bucket:
+        video = np.pad(video, ((0, t_bucket - t),) + ((0, 0),) * (video.ndim - 1))
+    if video.ndim == 3:  # (T, P, D) pre-extracted features skip the tower
+        return jnp.asarray(video)[None]
+    return _encode_frames_frozen({"vision": vision_params}, cfg, jnp.asarray(video))
+
+
+def make_sft_batch(sample, cfg, vision_params, token_bucket=None, frame_bucket=None):
     """SFT record (data/sft.py) → batch.  Text-only records return a
-    token-only batch (no frames key); media records go through the splice."""
+    token-only batch (no frames key); media records go through the splice.
+    token_bucket/frame_bucket override the natural buckets so samples in the
+    same microbatch stack to one shape."""
     from ..constants import IGNORE_INDEX, MMODAL_TOKEN_INDEX
 
     ids = list(np.asarray(sample["input_ids"])[0])
     labels = list(np.asarray(sample["labels"])[0])
     if sample.get("modal") is None:
-        bucket = bucket_length(len(ids), PLAN_BUCKETS)
+        bucket = token_bucket or bucket_length(len(ids), PLAN_BUCKETS)
         pad = bucket - len(ids)
         return {
             "kind": "text",
@@ -114,14 +133,12 @@ def make_sft_batch(sample, cfg, vision_params):
         }
     modal_index = MMODAL_TOKEN_INDEX[sample["modal"]]
     video = np.asarray(sample["video"], np.float32)
-    t = video.shape[0]
-    t_bucket = bucket_length(min(t, FRAME_BUCKETS[-1]), FRAME_BUCKETS)
-    video = video[-t_bucket:]
+    t = min(video.shape[0], FRAME_BUCKETS[-1])
+    t_bucket = frame_bucket or bucket_length(t, FRAME_BUCKETS)
+    video = video[-min(t, t_bucket):]
     t = min(t, t_bucket)
-    feats = _encode_frames_frozen({"vision": vision_params}, cfg, jnp.asarray(video))
-    if t < t_bucket:
-        feats = jnp.pad(feats, ((0, 0), (0, t_bucket - t), (0, 0), (0, 0)))
-    bucket = bucket_length(len(ids) - 1 + t, PLAN_BUCKETS)
+    feats = _encode_video(video, t_bucket, cfg, vision_params)
+    bucket = token_bucket or bucket_length(len(ids) - 1 + t, PLAN_BUCKETS)
     plan = build_splice_plan(ids, [t], modal_index, bucket, labels=labels)
     return {
         "kind": "media",
@@ -134,7 +151,8 @@ def make_sft_batch(sample, cfg, vision_params):
     }
 
 
-def make_batch_from_sample(sample, cfg, vision_params, stage: str):
+def make_batch_from_sample(sample, cfg, vision_params, stage: str,
+                           token_bucket=None, frame_bucket=None):
     """Host-side: sample dict → device batch with a bucketed splice plan.
 
     sample["video"] is either (T, 3, H, W) pixels or (T, P, D) pre-extracted
@@ -144,20 +162,12 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
     indexed consecutively over the frame sequence.
     """
     video = np.asarray(sample["video"], np.float32)
-    t = video.shape[0]
-    t_bucket = bucket_length(min(t, FRAME_BUCKETS[-1]), FRAME_BUCKETS)
+    t = min(video.shape[0], FRAME_BUCKETS[-1])
+    t_bucket = frame_bucket or bucket_length(t, FRAME_BUCKETS)
     if t > t_bucket:
-        video = video[-t_bucket:]
         t = t_bucket
-
-    if video.ndim == 3:  # (T, P, D) features
-        feats = jnp.asarray(video)[None]
-    else:
-        pixels = jnp.asarray(video)
-        feats = _encode_frames_frozen({"vision": vision_params}, cfg, pixels)
-    # pad frames (features) to the bucket so the train step stays shape-stable
-    if t < t_bucket:
-        feats = jnp.pad(feats, ((0, 0), (0, t_bucket - t), (0, 0), (0, 0)))
+    video = video[-t:] if video.shape[0] > t else video
+    feats = _encode_video(video, t_bucket, cfg, vision_params)
 
     if stage == "cls":
         gate_labels = np.zeros((1, t_bucket), np.int64)
@@ -190,7 +200,7 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
         spans = [t]
         n_slots = 1
     n_spliced = len(ids) - n_slots + sum(spans)
-    bucket = bucket_length(n_spliced, PLAN_BUCKETS)
+    bucket = token_bucket or bucket_length(n_spliced, PLAN_BUCKETS)
     plan = build_splice_plan(ids, spans, VIDEO_TOKEN_INDEX, bucket, labels=labels)
     return {
         "frames": feats,
@@ -200,6 +210,63 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str):
         "attn_mask": jnp.asarray(plan.attn_mask)[None],
         "labels": jnp.asarray(plan.labels)[None],
     }
+
+
+def _natural_buckets(sample, stage: str):
+    """(frame_bucket, token_bucket) this sample needs — host metadata only,
+    no device work.  Used to pick shared buckets for a stacked microbatch.
+    The clamped frame count t never exceeds the natural frame bucket, so a
+    LARGER shared frame bucket cannot change the token bucket."""
+    if "modal" in sample and sample.get("modal") is None:
+        ids_len = int(np.asarray(sample["input_ids"]).shape[-1])
+        return 0, bucket_length(ids_len, PLAN_BUCKETS)
+    t = min(int(np.asarray(sample["video"]).shape[0]), FRAME_BUCKETS[-1])
+    fb = bucket_length(t, FRAME_BUCKETS)
+    t = min(t, fb)
+    if stage == "cls":
+        return fb, 0
+    ids_len = int(np.asarray(sample["input_ids"]).shape[-1])
+    if "span_frames" in sample and "modal" not in sample:
+        spans = list(sample["span_frames"])
+        n_slots = len(spans)
+        total = max(min(sum(spans), t), n_slots)  # clamp floor: ≥1 per slot
+    else:
+        n_slots, total = 1, t
+    return fb, bucket_length(ids_len - n_slots + total, PLAN_BUCKETS)
+
+
+def make_microbatch(samples, cfg, vision_params, stage: str, pad_to: int = 0):
+    """Stack same-kind samples into one (B, ...) device batch at shared
+    buckets.  pad_to > len(samples) appends copies of samples[0] with all
+    labels masked out (zero valid tokens → no effect on the token-mean loss)
+    so the batch dimension stays divisible by the dp mesh axis.
+
+    Returns (kind, batch): kind is "text" | "media" | "cls".
+    """
+    from ..constants import IGNORE_INDEX
+
+    n_real = len(samples)
+    if pad_to > n_real:
+        samples = list(samples) + [samples[0]] * (pad_to - n_real)
+    metas = [_natural_buckets(s, stage) for s in samples]
+    fb = max(m[0] for m in metas) or None
+    tb = max(m[1] for m in metas) or None
+    rows, kind = [], "cls" if stage == "cls" else "media"
+    for j, s in enumerate(samples):
+        if "modal" in s:
+            row = make_sft_batch(s, cfg, vision_params, token_bucket=tb, frame_bucket=fb)
+            kind = row.pop("kind")
+        else:
+            row = make_batch_from_sample(s, cfg, vision_params, stage,
+                                         token_bucket=tb, frame_bucket=fb)
+        if j >= n_real:  # neutralize pad rows
+            if stage == "cls":
+                row["mask"] = jnp.zeros_like(row["mask"])
+            else:
+                row["labels"] = jnp.full_like(row["labels"], IGNORE_INDEX)
+        rows.append(row)
+    batch = {k: jnp.concatenate([r[k] for r in rows], axis=0) for k in rows[0]}
+    return kind, batch
 
 
 def train(model_args=None, data_args=None, training_args=None, dataset=None,
@@ -290,10 +357,17 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         else:
             raise ValueError(f"unknown dataset {data_args.dataset}")
 
-    total_steps = (
-        max_steps_override
-        or (training_args.max_steps if training_args.max_steps > 0 else len(dataset))
-    )
+    # global batch = dp × per-device batch × grad accumulation (reference:
+    # torchrun DDP world × batch 1 × accum 2, finetune_stage1.sh:25-31,52)
+    accum = max(training_args.gradient_accumulation_steps, 1)
+    per_device = max(training_args.per_device_train_batch_size, 1)
+    micro_bs = per_device * max(training_args.dp, 1)
+    global_bs = micro_bs * accum
+    if training_args.max_steps > 0 or max_steps_override:
+        total_steps = max_steps_override or training_args.max_steps
+    else:  # optimizer steps for num_train_epochs passes over the data
+        steps_per_epoch = max(len(dataset) // global_bs, 1)
+        total_steps = steps_per_epoch * max(training_args.num_train_epochs, 1)
 
     # -- LoRA (reference lora_enable path, train_new_stream.py:813-829) -----
     lora_scaling = None
@@ -408,6 +482,53 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
         step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
         step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))
+        # gradient-accumulation programs (reference recipe: per-device batch 1
+        # × GRADIENT_ACCUMULATION_STEPS=2, finetune_stage1.sh:52)
+        grad_fn = jax.jit(make_grad_step(loss_fn))
+        grad_fn_text = jax.jit(make_grad_step(text_loss_fn))
+        acc_fn = jax.jit(tree_add, donate_argnums=(0,))
+        apply_fn = jax.jit(make_accum_apply(optimizer), donate_argnums=(0,))
+
+        # -- data order: shuffled, length/modality-grouped, dp×accum batches --
+        from itertools import islice
+
+        from ..utils.prefetch import prefetch_iter
+        from .sampler import LengthGroupedSampler
+
+        lengths = getattr(dataset, "modality_lengths", None)
+        sampler = LengthGroupedSampler(
+            len(dataset), batch_size=per_device,
+            world_size=max(training_args.dp, 1) * accum,
+            lengths=lengths, seed=training_args.seed,
+            group_by_modality=lengths is not None,
+        )
+
+        def index_stream():
+            epoch = 0
+            while True:
+                yield from sampler.epoch_indices(epoch)
+                epoch += 1
+
+        stream = index_stream()
+        for _ in range(start_step * global_bs):  # resume: replay the order
+            next(stream)
+        n_samples_left = (total_steps - start_step) * global_bs
+        sample_stream = prefetch_iter(
+            dataset.__getitem__, islice(stream, n_samples_left),
+            num_workers=getattr(data_args, "num_workers", 4),
+            depth=max(2 * global_bs, 8),
+        )
+
+        batch_sharding = None
+        if micro_bs > 1 or training_args.dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P("dp"))
+
+        def put(batch):
+            if batch_sharding is None:
+                return batch
+            return {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
 
         from ..utils.metrics_writer import MetricsWriter
 
@@ -415,17 +536,35 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         writer = MetricsWriter(os.path.join(training_args.output_dir, "logs"))
         t0 = time.time()
         for step in range(start_step, total_steps):
-            sample = dataset[step % len(dataset)]
-            if "modal" in sample:  # offline SFT record
-                batch = make_sft_batch(sample, cfg, state.params["vision"])
-            else:
-                batch = make_batch_from_sample(
-                    sample, cfg, state.params["vision"], stage
+            batch_samples = [next(sample_stream) for _ in range(global_bs)]
+            # modality-pure microbatches (the sampler already groups; this
+            # guards the megabatch seams and mixed tails)
+            text_s = [s for s in batch_samples if s.get("modal", "?") is None]
+            media_s = [s for s in batch_samples if s.get("modal", "?") is not None]
+            chunks = [
+                ("text" if group is text_s else "media", group[c : c + micro_bs])
+                for group in (media_s, text_s) if group
+                for c in range(0, len(group), micro_bs)
+            ]
+            if len(chunks) == 1:
+                kind, batch = make_microbatch(
+                    chunks[0][1], cfg, state.params["vision"], stage, pad_to=micro_bs
                 )
-            if batch.pop("kind", None) == "text":
-                state, metrics = step_fn_text(state, batch)
+                fn = step_fn_text if kind == "text" else step_fn
+                state, metrics = fn(state, put(batch))
             else:
-                state, metrics = step_fn(state, batch)
+                grad_sum, loss_sum = None, None
+                for kind, chunk in chunks:
+                    kind, batch = make_microbatch(
+                        chunk, cfg, state.params["vision"], stage, pad_to=micro_bs
+                    )
+                    g = grad_fn_text if kind == "text" else grad_fn
+                    loss, grads = g(state.params, put(batch))
+                    grad_sum = grads if grad_sum is None else acc_fn(grad_sum, grads)
+                    loss_sum = loss if loss_sum is None else loss_sum + loss
+                state, metrics = apply_fn(
+                    state, grad_sum, loss_sum, jnp.float32(len(chunks))
+                )
             metrics_log.update(loss=float(metrics["loss"]),
                                grad_norm=float(metrics["grad_norm"]))
             if (step + 1) % training_args.logging_steps == 0:

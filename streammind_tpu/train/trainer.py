@@ -148,6 +148,43 @@ def make_train_step(loss_fn: Callable, optimizer) -> Callable:
     return step
 
 
+def make_grad_step(loss_fn: Callable) -> Callable:
+    """loss_fn(params, batch) -> scalar.  Returns jittable
+    grad_step(params, batch) -> (loss, grads) for gradient accumulation
+    (reference trains with GRADIENT_ACCUMULATION_STEPS=2,
+    scripts/custom/finetune_stage1.sh:52)."""
+
+    def grad_step(params, batch):
+        return jax.value_and_grad(loss_fn)(params, batch)
+
+    return grad_step
+
+
+def tree_add(a, b):
+    """Accumulate one grad tree into another (jit with donate_argnums=(0,)
+    so the accumulator is updated in place)."""
+    return jax.tree.map(jnp.add, a, b)
+
+
+def make_accum_apply(optimizer) -> Callable:
+    """Returns jittable apply(state, grad_sum, loss_sum, n_micro) ->
+    (state, metrics): averages the accumulated grads over the microbatch
+    count and takes ONE optimizer step — so accumulation over k microbatches
+    matches a k-times-larger batch (equal per-microbatch weighting, the HF
+    Trainer convention the reference inherits)."""
+
+    def apply(state: TrainState, grad_sum, loss_sum, n_micro):
+        grads = jax.tree.map(lambda g: g / n_micro, grad_sum)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            {"loss": loss_sum / n_micro, "grad_norm": optax.global_norm(grads)},
+        )
+
+    return apply
+
+
 def count_trainable(params, mask) -> int:
     leaves = jax.tree.leaves(
         jax.tree.map(lambda p, m: int(p.size) if m else 0, params, mask)
