@@ -73,11 +73,23 @@ def mha_reference(
 # ---------------------------------------------------------------------------
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
-def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel_nolse(meta_ref, q_ref, k_ref, v_ref, o_ref,
+                        acc_scr, m_scr, l_scr,
+                        *, block_k: int, causal: bool, scale: float):
+    """Inference variant: no lse output (skips the fp32 lane-replicated lse
+    write — measurable bandwidth on the perception hot path)."""
+    _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, None,
+                  acc_scr, m_scr, l_scr,
+                  block_k=block_k, causal=causal, scale=scale)
+
+
+def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   acc_scr, m_scr, l_scr,
                   *, block_k: int, causal: bool, scale: float):
     """Grid: (batch*heads, num_q_blocks).  Blocks:
       q_ref: (1, BQ, D); k_ref/v_ref: (1, Sk, D); o_ref: (1, BQ, D)
+      lse_ref: (1, BQ, 128) lane-replicated log-sum-exp (backward residual),
+      or None in the inference variant
       meta_ref: (B*H, 2) scalar-prefetch — [valid kv length, q position
       offset] per row (dynamic offsets let cached prefill reuse one program).
     """
@@ -130,6 +142,11 @@ def _flash_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref,
 
     denom = jnp.maximum(l_scr[:, :], 1e-30)
     o_ref[0] = (acc_scr[:, :] / denom).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # lse replicated across the 128-lane dim (Mosaic wants lane-tiled
+        # blocks); rows with no visible keys keep m = -inf → stays finite
+        lse = jnp.maximum(m_scr[:, :], NEG_INF) + jnp.log(denom)
+        lse_ref[0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 def flash_attention(
@@ -142,11 +159,14 @@ def flash_attention(
     softmax_scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Blockwise flash attention forward.  GQA via head repetition indices.
 
     Static shapes; padding handled by kv_len masking so streaming callers can
     keep one compiled program for a ring buffer of fixed capacity.
+    return_lse: also return the per-row log-sum-exp (B, Sq, H) — the residual
+    the custom-vjp backward needs.
     """
     b, sq, h, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -178,44 +198,309 @@ def flash_attention(
         [jnp.repeat(kv_len_arr, h), jnp.repeat(q_off_arr, h)], axis=1
     )
 
-    kernel = functools.partial(
-        _flash_kernel,
-        block_k=block_k,
-        causal=causal,
-        scale=scale,
+    grid = (b * h, sq_p // block_q)
+    kv_spec = pl.BlockSpec(
+        # kv head index = (bh % h) // n_rep within batch bh // h
+        (1, sk_p, d),
+        lambda bh, qb, kvl: ((bh // h) * hkv + (bh % h) // n_rep, 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qb, kvl: (bh, qb, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    o_spec = pl.BlockSpec((1, block_q, d), lambda bh, qb, kvl: (bh, qb, 0))
+    o_shape = jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype)
+    scratch = [
+        pltpu.VMEM((block_q, d), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+    ]
+    kw = dict(block_k=block_k, causal=causal, scale=scale)
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel, **kw),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec((1, block_q, 128), lambda bh, qb, kvl: (bh, qb, 0)),
+                ),
+                scratch_shapes=scratch,
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32),
+            ),
+            interpret=interpret_mode(),
+        )(meta, qf, kf, vf)
+        out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq]
+        return out, lse[:, :, 0].reshape(b, h, sq_p).transpose(0, 2, 1)[:, :sq]
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_nolse, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=o_spec, scratch_shapes=scratch,
+        ),
+        out_shape=o_shape,
+        interpret=interpret_mode(),
+    )(meta, qf, kf, vf)
+    return out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention backward (training path)
+#
+# Replaces the last un-matched reference kernel family: the reference trains
+# with flash-attn 2.5.8 (requirements.txt:87, engaged via
+# attn_implementation="flash_attention_2", train_flash_attn_score.py:13).
+# FlashAttention-2 backward: forward saves (O, LSE); backward recomputes the
+# probabilities blockwise from LSE, so no (Sq, Sk) matrix ever hits HBM.
+# ---------------------------------------------------------------------------
+def _flash_bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, *, block_k: int, causal: bool,
+                         scale: float):
+    """Grid (B*H, n_q_blocks): one dQ block per program, streaming K/V blocks.
+    q/do/dq: (1, BQ, D); k/v: (1, Sk, D); lse/delta: (1, BQ, 128)
+    lane-replicated (max over lanes recovers the scalar per row)."""
+    qb = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    seq_k = k_ref.shape[1]
+    kv_len = meta_ref[pl.program_id(0), 0]
+    q_offset = meta_ref[pl.program_id(0), 1]
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = jnp.max(lse_ref[0], axis=-1, keepdims=True)
+    delta = jnp.max(delta_ref[0], axis=-1, keepdims=True)
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+    num_kb = pl.cdiv(seq_k, block_k)
+
+    def body(kb, acc):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    if causal:
+        max_kb = jnp.minimum(
+            num_kb,
+            pl.cdiv(jnp.minimum((qb + 1) * block_q + q_offset, kv_len), block_k),
+        )
+    else:
+        max_kb = jnp.minimum(num_kb, pl.cdiv(kv_len, block_k))
+    d = q_ref.shape[2]
+    acc = jax.lax.fori_loop(0, max_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q: int,
+                          causal: bool, scale: float):
+    """Grid (B*H, n_k_blocks): one dK/dV block per program, streaming Q
+    blocks.  Accumulation is PER Q-HEAD (GQA head groups are summed by the
+    caller — a reshape-sum, cheaper than cross-program atomics the TPU
+    doesn't have).  q/do: (1, Sq, D); k/v/dk/dv: (1, BK, D); lse/delta:
+    (1, Sq, 128) lane-replicated."""
+    kb = pl.program_id(1)
+    block_k = k_ref.shape[1]
+    seq_q = q_ref.shape[1]
+    kv_len = meta_ref[pl.program_id(0), 0]
+    q_offset = meta_ref[pl.program_id(0), 1]
+
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    num_qb = pl.cdiv(seq_q, block_q)
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * scale
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = jnp.max(
+            lse_ref[0, pl.ds(qb * block_q, block_q), :], axis=-1, keepdims=True
+        )
+        delta_blk = jnp.max(
+            delta_ref[0, pl.ds(qb * block_q, block_q), :], axis=-1, keepdims=True
+        )
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        ) + q_offset
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse_blk), 0.0)
+        dv_acc = dv_acc + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk)
+        dk_acc = dk_acc + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    if causal:
+        # first q block that can see this k block: q_pos >= kb*block_k
+        start_qb = jnp.maximum(
+            (kb * block_k - q_offset) // block_q, 0
+        ).astype(jnp.int32)
+    else:
+        start_qb = jnp.int32(0)
+    d = k_ref.shape[2]
+    dk_acc, dv_acc = jax.lax.fori_loop(
+        start_qb, num_qb, body,
+        (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32)),
+    )
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_fwd_with_lse(q, k, v, kv_len, causal, block_q, block_k):
+    return flash_attention(
+        q, k, v, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_k=block_k, return_lse=True,
     )
 
-    grid = (b * h, sq_p // block_q)
-    out = pl.pallas_call(
-        kernel,
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_mha(q, k, v, kv_len=None, causal=True,
+              block_q: int = 256, block_k: int = 256):
+    """Differentiable Pallas flash attention (the TRAINING kernel family).
+
+    q: (B, Sq, H, D); k/v: (B, Sk, Hkv, D); kv_len: optional (B,) valid kv
+    length (right-padded batches).  Forward == flash_attention; backward is
+    the FlashAttention-2 recomputation scheme as two Pallas kernels.
+    """
+    out, _ = _flash_fwd_with_lse(q, k, v, kv_len, causal, block_q, block_k)
+    return out
+
+
+def _flash_mha_fwd(q, k, v, kv_len, causal, block_q, block_k):
+    out, lse = _flash_fwd_with_lse(q, k, v, kv_len, causal, block_q, block_k)
+    return out, (q, k, v, kv_len, out, lse)
+
+
+def _flash_mha_bwd(causal, block_q, block_k, res, g):
+    q, k, v, kv_len, out, lse = res
+    b, sq, h, d = q.shape
+    _, sk, hkv, _ = k.shape
+    n_rep = h // hkv
+    scale = 1.0 / math.sqrt(d)
+
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    sq_p = -(-sq // bq) * bq
+    sk_p = -(-sk // bk) * bk
+
+    # delta_i = rowsum(dO_i * O_i) — tiny elementwise reduce, left to XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, Sq, H)
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, sq_p - sq)) + ((0, 0),) * (x.ndim - 2))
+
+    def pad_k(x):
+        return jnp.pad(x, ((0, 0), (0, sk_p - sk)) + ((0, 0),) * (x.ndim - 2))
+
+    qf = pad_q(q).transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    dof = pad_q(g).transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    # lane-replicated (B*H, Sq, 128) — Mosaic wants lane-tiled blocks
+    lsef = jnp.broadcast_to(
+        pad_q(lse).transpose(0, 2, 1).reshape(b * h, sq_p)[:, :, None],
+        (b * h, sq_p, 128),
+    )
+    deltaf = jnp.broadcast_to(
+        pad_q(delta).transpose(0, 2, 1).reshape(b * h, sq_p)[:, :, None],
+        (b * h, sq_p, 128),
+    )
+    kf = pad_k(k).transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
+    vf = pad_k(v).transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
+
+    if kv_len is None:
+        kv_len_arr = jnp.full((b,), sk, jnp.int32)
+    else:
+        kv_len_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    meta = jnp.stack(
+        [jnp.repeat(kv_len_arr, h), jnp.zeros((b * h,), jnp.int32)], axis=1
+    )
+
+    kv_spec = pl.BlockSpec(
+        (1, sk_p, d), lambda bh, blk, m: ((bh // h) * hkv + (bh % h) // n_rep, 0, 0)
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=bk, causal=causal, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(b * h, sq_p // bq),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, qb, kvl: (bh, qb, 0)),
-                # kv head index = (bh % h) // n_rep within batch bh // h
-                pl.BlockSpec(
-                    (1, sk_p, d),
-                    lambda bh, qb, kvl: ((bh // h) * hkv + (bh % h) // n_rep, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, sk_p, d),
-                    lambda bh, qb, kvl: ((bh // h) * hkv + (bh % h) // n_rep, 0, 0),
-                ),
+                pl.BlockSpec((1, bq, d), lambda bh, qb, m: (bh, qb, 0)),
+                kv_spec,
+                kv_spec,
+                pl.BlockSpec((1, bq, d), lambda bh, qb, m: (bh, qb, 0)),
+                pl.BlockSpec((1, bq, 128), lambda bh, qb, m: (bh, qb, 0)),
+                pl.BlockSpec((1, bq, 128), lambda bh, qb, m: (bh, qb, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qb, kvl: (bh, qb, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, d), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qb, m: (bh, qb, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
         interpret=interpret_mode(),
-    )(meta, qf, kf, vf)
+    )(meta, qf, kf, vf, dof, lsef, deltaf)
 
-    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
-    return out[:, :sq]
+    q_spec = pl.BlockSpec((1, sq_p, d), lambda bh, kb, m: (bh, 0, 0))
+    row_spec = pl.BlockSpec((1, sq_p, 128), lambda bh, kb, m: (bh, 0, 0))
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=bq, causal=causal, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, sk_p // bk),
+            in_specs=[
+                q_spec,
+                pl.BlockSpec(
+                    (1, bk, d),
+                    lambda bh, kb, m: ((bh // h) * hkv + (bh % h) // n_rep, kb, 0),
+                ),
+                pl.BlockSpec(
+                    (1, bk, d),
+                    lambda bh, kb, m: ((bh // h) * hkv + (bh % h) // n_rep, kb, 0),
+                ),
+                q_spec,
+                row_spec,
+                row_spec,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bk, d), lambda bh, kb, m: (bh, kb, 0)),
+                pl.BlockSpec((1, bk, d), lambda bh, kb, m: (bh, kb, 0)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(meta, qf, kf, vf, dof, lsef, deltaf)
+
+    # sum GQA head groups: (B*H, Sk, D) → (B, Hkv, Sk, D)
+    dk = dk_h.reshape(b, hkv, n_rep, sk_p, d).sum(axis=2)
+    dv = dv_h.reshape(b, hkv, n_rep, sk_p, d).sum(axis=2)
+
+    dq = dq.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq]
+    dk = dk.transpose(0, 2, 1, 3)[:, :sk].astype(k.dtype)
+    dv = dv.transpose(0, 2, 1, 3)[:, :sk].astype(v.dtype)
+    if kv_len is None:
+        kv_len_bar = None
+    else:
+        import numpy as _np
+
+        kv_len_bar = _np.zeros(jnp.shape(kv_len), jax.dtypes.float0)
+    return dq, dk, dv, kv_len_bar
+
+
+flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
 def decode_attention(
@@ -250,6 +535,9 @@ def attention(
     if impl == "flash":
         if kv_len is None and kv_mask is not None:
             kv_len = jnp.sum(kv_mask, axis=-1).astype(jnp.int32)
+        if isinstance(q_offset, int) and q_offset == 0:
+            # differentiable path (training): Pallas forward + backward
+            return flash_mha(q, k, v, kv_len, causal)
         return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
     if impl == "bf16":
         # serve-path fast mode: softmax in the input dtype (bf16) — ~20%

@@ -190,21 +190,23 @@ class StreamMindEngine:
 
     # -- cognition --------------------------------------------------------
     def _prefill_impl(self, params, token_ids, mem_index, use_mem, memory, cache, real_len):
-        """Bucketed prefill of a right-padded suffix block.
+        """Bucketed prefill of right-padded suffix blocks.
 
-        token_ids/mem_index/use_mem: (1, P); memory: (1, M, D);
-        real_len: () int32 — true suffix length.  Returns (next_token_logits,
-        cache) with cache advanced by real_len.
+        token_ids/mem_index/use_mem: (B, P); memory: (B, M, D);
+        real_len: (B,) int32 — true suffix length per row.  Returns
+        (next_token_logits (B, V), cache) with each cache row advanced by its
+        real_len.  B > 1 is the continuous-batching path: several streams'
+        turns prefill in one program (SURVEY §7 hard part — heterogeneous
+        work batched without head-of-line blocking).
         """
         p, cfg = params, self.cfg
         embeds = splice_embeds(p["text"], token_ids, mem_index, use_mem, memory)
         logits, cache = lm.text_forward(
             p["text"], cfg.text, inputs_embeds=embeds, cache=cache,
-            cache_advance=jnp.broadcast_to(real_len, cache.length.shape),
+            cache_advance=real_len,
         )
-        last = jnp.take_along_axis(
-            logits, (real_len - 1)[None, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
+        idx = jnp.maximum(real_len - 1, 0).astype(jnp.int32)[:, None, None]
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0, :]
         return last, cache
 
     def _decode_impl(self, params, first_token, cache, eos_id, max_new: int,
@@ -241,6 +243,111 @@ class StreamMindEngine:
             (jnp.int32(0), first_token, cache, buf, jnp.bool_(False), rng_key),
         )
         return buf, i, cache
+
+    def _decode_batch_impl(self, params, first_tokens, cache, eos_id, max_new: int,
+                           limits, temperature, rng_key, active):
+        """Lockstep batched decode over K rows with per-row EOS.
+
+        Each device step decodes one token for EVERY still-live row — the
+        continuous-batching half of cognition (SURVEY §7): two simultaneous
+        gate fires cost max(len_a, len_b) decode steps, not len_a + len_b,
+        and the 7B weight read per step is amortized across rows.
+
+        first_tokens: (K,) already-sampled first tokens; limits: (K,) per-row
+        max new tokens; active: (K,) bool — False rows are padding (bucketed
+        K) and never advance their cache.  Rows that finish early stop
+        advancing their cache (cache_advance 0) and emit eos into the buffer.
+        """
+        p, cfg = params, self.cfg
+        K = first_tokens.shape[0]
+
+        def cond(carry):
+            i, toks, cache, buf, done, key = carry
+            return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(done)))
+
+        def body(carry):
+            i, toks, cache, buf, done, key = carry
+            buf = buf.at[:, i].set(jnp.where(done, eos_id, toks))
+            logits, cache = lm.text_forward(
+                p["text"], cfg.text, input_ids=toks[:, None], cache=cache,
+                cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
+            )
+            key, sub = jax.random.split(key)
+            last = logits[:, -1]
+            nxt = jnp.where(
+                temperature > 0,
+                jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
+                jnp.argmax(last, axis=-1),
+            ).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            done = jnp.logical_or(done, nxt == eos_id)
+            done = jnp.logical_or(done, i + 1 >= limits)
+            return (i + 1, nxt, cache, buf, done, key)
+
+        buf = jnp.full((K, max_new), eos_id, jnp.int32)
+        done0 = jnp.logical_or(jnp.logical_not(active), first_tokens == eos_id)
+        done0 = jnp.logical_or(done0, limits <= 0)
+        steps, _, cache, buf, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), first_tokens, cache, buf, done0, rng_key),
+        )
+        return buf, steps, cache
+
+    def generate_from_prefill_batch(
+        self,
+        last_logits,          # (K, V) from prefill_batch
+        cache,                # batch-K KVCache (consumed)
+        max_new_tokens,       # int or per-row list of K ints
+        active=None,          # (K,) bool — padding-row mask
+        temperature: float = 0.0,
+        rng_key=None,
+    ):
+        """Batched continuation after prefill_batch.
+
+        Returns (list of K token lists, device_steps, cache).  device_steps
+        counts the lockstep decode iterations actually executed — for K
+        concurrent turns it is max(len_k), which is what makes batched
+        cognition ≫ sequential when several streams fire together.
+        """
+        if not hasattr(self, "_decode_batch"):
+            self._decode_batch = jax.jit(
+                self._decode_batch_impl, static_argnums=(4,), donate_argnums=(2,)
+            )
+        K = last_logits.shape[0]
+        if isinstance(max_new_tokens, int):
+            limits = [max_new_tokens] * K
+        else:
+            limits = list(max_new_tokens)
+        max_new = max(max(limits), 1)
+        if active is None:
+            active_arr = jnp.ones((K,), bool)
+        else:
+            active_arr = jnp.asarray(active, bool)
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        rng_key, k0 = jax.random.split(rng_key)
+        if temperature > 0:
+            first = jax.random.categorical(
+                k0, last_logits.astype(jnp.float32) / max(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+        else:
+            first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        buf, steps, cache = self._decode_batch(
+            self.params, first, cache, jnp.int32(self.eos_token_id), max_new,
+            jnp.asarray(limits, jnp.int32), jnp.float32(temperature), rng_key,
+            active_arr,
+        )
+        rows = np.asarray(buf)
+        eos = self.eos_token_id
+        out = []
+        for r in range(K):
+            toks = []
+            for t in rows[r]:
+                if int(t) == eos:
+                    break
+                toks.append(int(t))
+            out.append(toks)
+        return out, int(steps), cache
 
     def _decode_step_impl(self, params, tok, cache, temperature, rng_key):
         """One decode step (for token-streaming callers like the HTTP
@@ -401,7 +508,25 @@ class StreamMindEngine:
             jnp.asarray(plan.use_mem)[None],
             memory,
             cache,
-            jnp.int32(plan.length),
+            jnp.full((1,), plan.length, jnp.int32),
+        )
+        return last, cache
+
+    def prefill_batch(self, plans, memory: jax.Array, cache):
+        """Batched prefill of K turns padded to ONE shared bucket.
+
+        plans: list of K SplicePlans (all pad_to == shared bucket);
+        memory: (K, M, D) per-row memory rings; cache: batch-K KVCache.
+        Returns ((K, V) last logits, cache).
+        """
+        last, cache = self._prefill(
+            self.params,
+            jnp.asarray(np.stack([p.token_ids for p in plans])),
+            jnp.asarray(np.stack([p.mem_index for p in plans])),
+            jnp.asarray(np.stack([p.use_mem for p in plans])),
+            memory,
+            cache,
+            jnp.asarray([p.length for p in plans], jnp.int32),
         )
         return last, cache
 
@@ -433,6 +558,28 @@ class StreamMindEngine:
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
 
 
+def stack_kv_caches(caches) -> "lm.KVCache":
+    """Concatenate per-stream batch-1 KVCaches into one batch-K cache (the
+    gather half of continuous-batched cognition)."""
+    return lm.KVCache(
+        k=jnp.concatenate([c.k for c in caches], axis=1),
+        v=jnp.concatenate([c.v for c in caches], axis=1),
+        length=jnp.concatenate([c.length for c in caches]),
+    )
+
+
+def split_kv_cache(cache: "lm.KVCache", rows: int):
+    """Scatter a batch-K cache back into K batch-1 caches."""
+    return [
+        lm.KVCache(
+            k=cache.k[:, i : i + 1],
+            v=cache.v[:, i : i + 1],
+            length=cache.length[i : i + 1],
+        )
+        for i in range(rows)
+    ]
+
+
 def _encode_no_bos(tokenizer, text: str) -> list:
     ids = tokenizer(text).input_ids
     bos = getattr(tokenizer, "bos_token_id", None)
@@ -449,6 +596,7 @@ def ensure_turn_capacity(
     cache,
     span_len: int,
     max_new_tokens: int,
+    min_bucket: int = 0,
 ):
     """KV-capacity guard shared by StreamSession and MultiStreamServer.
 
@@ -459,10 +607,16 @@ def ensure_turn_capacity(
     tokens.  On overflow: fresh cache, recent turns re-carried as text (the
     reference's past_review_caption mechanism) — pending is REPLACED, since
     the history already re-renders the last turn.
+
+    min_bucket: lower bound on the prefill bucket that will actually be used
+    (continuous-batched cognition pads every fired slot's plan to ONE shared
+    bucket, so each slot must budget for the shared size, not its own).
     """
     turn_scaffold = 16  # "[INST] <video>\n [/INST]" worst case
     n_spliced = len(pending_ids) + turn_scaffold + span_len
-    bucket = bucket_length(min(n_spliced, engine.buckets[-1]), engine.buckets)
+    bucket = max(
+        bucket_length(min(n_spliced, engine.buckets[-1]), engine.buckets), min_bucket
+    )
     if int(cache.length[0]) + bucket + max_new_tokens <= engine.kv_capacity:
         return pending_ids, cache
 
@@ -481,7 +635,7 @@ def ensure_turn_capacity(
     # the exact clamped-write corruption this guard exists to prevent)
     def fits(hist):
         n = len(hist) + turn_scaffold + span_len
-        b = bucket_length(min(n, engine.buckets[-1]), engine.buckets)
+        b = max(bucket_length(min(n, engine.buckets[-1]), engine.buckets), min_bucket)
         return b + max_new_tokens <= engine.kv_capacity and n <= engine.buckets[-1]
 
     while history and not fits(history):
@@ -514,30 +668,7 @@ def run_cognition_turn(
     Shared by StreamSession (single stream) and MultiStreamServer (slot-wise
     cognition after batched perception).
     """
-    from ..constants import VIDEO_TOKEN_INDEX
-    from ..mm_utils import tokenizer_multimodal_token
-
-    if pending_ids and VIDEO_TOKEN_INDEX in pending_ids:
-        suffix_ids = pending_ids
-    else:
-        turn_ids = tokenizer_multimodal_token(
-            "[INST] <video>\n [/INST]", tokenizer, VIDEO_TOKEN_INDEX
-        )
-        bos = getattr(tokenizer, "bos_token_id", None)
-        if bos is not None and turn_ids and turn_ids[0] == bos:
-            turn_ids = turn_ids[1:]
-        suffix_ids = pending_ids + turn_ids
-
-    n_spliced = len(suffix_ids) - 1 + len(span)
-    bucket = bucket_length(n_spliced, engine.buckets)
-    plan = build_splice_plan(suffix_ids, [len(span)], VIDEO_TOKEN_INDEX, bucket)
-    mem_index = plan.mem_index.copy()
-    mem_index[plan.use_mem] = np.asarray(span, np.int32)
-    plan = SplicePlan(
-        token_ids=plan.token_ids, mem_index=mem_index, use_mem=plan.use_mem,
-        attn_mask=plan.attn_mask, labels=plan.labels, length=plan.length,
-    )
-
+    plan = build_turn_plan(engine, tokenizer, span, pending_ids)
     last, cache = engine.prefill(plan, memory, cache)
     tokens, cache = engine.generate_from_prefill(
         last, cache, max_new_tokens, temperature=temperature, rng_key=rng_key
@@ -550,16 +681,71 @@ def run_cognition_turn(
     else:
         text = ""
 
-    # The generated tokens were each fed through the decode loop, so they are
-    # ALREADY in the KV cache — only the closing </s> (never fed) goes into
-    # the next turn's pending suffix.  Re-appending the answer would make
-    # every later turn see it twice.
+    return text, tokens, post_turn_pending(tokenizer), cache
+
+
+def turn_suffix_ids(tokenizer, pending_ids: list) -> list:
+    """The token suffix a cognition turn prefills: pending dialogue ids plus
+    the "[INST] <video>\\n [/INST]" scaffold if no modal slot is pending."""
+    from ..constants import VIDEO_TOKEN_INDEX
+    from ..mm_utils import tokenizer_multimodal_token
+
+    if pending_ids and VIDEO_TOKEN_INDEX in pending_ids:
+        return pending_ids
+    turn_ids = tokenizer_multimodal_token(
+        "[INST] <video>\n [/INST]", tokenizer, VIDEO_TOKEN_INDEX
+    )
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and turn_ids and turn_ids[0] == bos:
+        turn_ids = turn_ids[1:]
+    return pending_ids + turn_ids
+
+
+def build_turn_plan(
+    engine: "StreamMindEngine",
+    tokenizer,
+    span: list,
+    pending_ids: list,
+    pad_to: Optional[int] = None,
+) -> SplicePlan:
+    """Build the splice plan for one cognition turn.  pad_to overrides the
+    bucket (continuous batching pads every fired slot to one shared bucket)."""
+    from ..constants import VIDEO_TOKEN_INDEX
+
+    suffix_ids = turn_suffix_ids(tokenizer, pending_ids)
+    if pad_to is None:
+        n_spliced = len(suffix_ids) - 1 + len(span)
+        pad_to = bucket_length(n_spliced, engine.buckets)
+    plan = build_splice_plan(suffix_ids, [len(span)], VIDEO_TOKEN_INDEX, pad_to)
+    mem_index = plan.mem_index.copy()
+    mem_index[plan.use_mem] = np.asarray(span, np.int32)
+    return SplicePlan(
+        token_ids=plan.token_ids, mem_index=mem_index, use_mem=plan.use_mem,
+        attn_mask=plan.attn_mask, labels=plan.labels, length=plan.length,
+    )
+
+
+def post_turn_pending(tokenizer) -> list:
+    """Ids carried into the next turn after a decode: the generated tokens
+    were each fed through the decode loop, so they are ALREADY in the KV
+    cache — only the closing </s> (never fed) goes into the next turn's
+    pending suffix.  Re-appending the answer would make every later turn see
+    it twice."""
     eos = getattr(tokenizer, "eos_token", "</s>")
     eos_ids = tokenizer(eos).input_ids
     bos = getattr(tokenizer, "bos_token_id", None)
     if bos is not None and eos_ids and eos_ids[0] == bos:
         eos_ids = eos_ids[1:]
-    return text, tokens, list(eos_ids), cache
+    return list(eos_ids)
+
+
+def decode_tokens_to_text(tokenizer, tokens: list) -> str:
+    if hasattr(tokenizer, "decode"):
+        try:
+            return tokenizer.decode(tokens, skip_special_tokens=True)
+        except TypeError:
+            return tokenizer.decode(tokens)
+    return ""
 
 
 class StreamSession:

@@ -2,9 +2,14 @@
 
 Many live video streams share ONE batched perception program (weight reads
 amortized across streams — measured 233 frames/s aggregate at S=8 on one
-v5e chip vs 134 fps single-stream); cognition runs per-stream on gate fire
-with per-slot persistent KV caches.  The batched state is compiled once for
-the configured capacity; attach/detach never recompiles (inactive slots are
+v5e chip vs 134 fps single-stream).  Cognition is ALSO continuous-batched
+(SURVEY §7 hard part: "continuous batching of heterogeneous work without
+head-of-line blocking"): all slots whose gates fire on the same tick run ONE
+batched prefill (plans padded to a shared bucket) and ONE lockstep decode
+loop over their gathered KV caches — K simultaneous fires cost
+max(len_k) decode steps instead of sum(len_k), with the 7B weight read per
+step amortized across the K rows.  The batched state is compiled once per
+(bucket, K-bucket); attach/detach never recompiles (inactive slots are
 masked on the host).
 """
 from __future__ import annotations
@@ -16,7 +21,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import StreamMindEngine, ensure_turn_capacity, run_cognition_turn
+from ..models.meta import bucket_length
+from .engine import (
+    StreamMindEngine,
+    build_turn_plan,
+    decode_tokens_to_text,
+    ensure_turn_capacity,
+    post_turn_pending,
+    run_cognition_turn,
+    split_kv_cache,
+    stack_kv_caches,
+    turn_suffix_ids,
+)
 from .state import init_multistream_state
 
 
@@ -37,9 +53,18 @@ class _Slot:
 class MultiStreamServer:
     """Fixed-capacity pool of live streams over one engine."""
 
-    def __init__(self, engine: StreamMindEngine, capacity: int = 8):
+    def __init__(self, engine: StreamMindEngine, capacity: int = 8,
+                 batch_cognition: bool = True):
         self.engine = engine
         self.capacity = capacity
+        self.batch_cognition = batch_cognition
+        # K-buckets for batched cognition: fired-slot count pads up to the
+        # next power of two so prefill/decode compile once per (bucket, K)
+        self._k_buckets = []
+        k = 1
+        while k < capacity:
+            k *= 2
+            self._k_buckets.append(min(k, capacity))
         self.state = init_multistream_state(engine.cfg, capacity)
         self.slots: List[Optional[_Slot]] = [None] * capacity
         size = engine.cfg.vision.image_size
@@ -127,6 +152,7 @@ class MultiStreamServer:
         probs = np.asarray(gate_probs)
 
         out: Dict[str, Optional[str]] = {}
+        fired: List[int] = []
         for i in fed:
             slot = self.slots[i]
             slot.frame_idx += 1
@@ -135,18 +161,114 @@ class MultiStreamServer:
                 fire = bool(p[1] > p[0])
             else:
                 fire = bool(p[1] > slot.gate_threshold)
-            if not fire:
+            if fire:
+                fired.append(i)
+            else:
                 out[slot.stream_id] = None
-                continue
-            out[slot.stream_id] = self._cognify_slot(i)
+        texts = self._cognify_slots(fired)
+        for i, text in texts.items():
+            out[self.slots[i].stream_id] = text
         return out
 
-    def _cognify_slot(self, i: int) -> str:
+    # -- cognition ----------------------------------------------------------
+    def _slot_span(self, i: int) -> list:
         slot = self.slots[i]
         cfg = self.engine.cfg
         cur = min(slot.frame_idx, cfg.max_stream_frames)
         start = min(slot.last_fire, cur)
-        span = list(range(start, cur)) or [max(cur - 1, 0)]
+        return list(range(start, cur)) or [max(cur - 1, 0)]
+
+    def _cognify_slots(self, fired: List[int]) -> Dict[int, str]:
+        """Run one cognition turn for every fired slot.  Two or more fires on
+        the same tick share one batched prefill + one lockstep decode loop."""
+        if not fired:
+            return {}
+        if len(fired) == 1 or not self.batch_cognition:
+            return {i: self._cognify_slot(i) for i in fired}
+
+        eng = self.engine
+        cfg = eng.cfg
+        spans = {i: self._slot_span(i) for i in fired}
+
+        # Capacity guard with a SHARED bucket: every fired plan pads to one
+        # bucket, so each slot must budget for max over slots, iterated to a
+        # fixpoint (a history re-carry can grow a slot's own bucket).
+        shared = 0
+        for _ in range(4):
+            for i in fired:
+                slot = self.slots[i]
+                suffix = turn_suffix_ids(slot.tokenizer, slot.pending_ids)
+                n = len(suffix) - 1 + len(spans[i])
+                shared = max(shared, bucket_length(
+                    min(n, eng.buckets[-1]), eng.buckets))
+            changed = False
+            for i in fired:
+                slot = self.slots[i]
+                new_pending, new_cache = ensure_turn_capacity(
+                    eng, slot.tokenizer, slot.pending_ids, slot.turns,
+                    slot.cache, len(spans[i]), slot.max_new_tokens,
+                    min_bucket=shared,
+                )
+                if new_cache is not slot.cache:
+                    changed = True
+                slot.pending_ids, slot.cache = new_pending, new_cache
+            if not changed:
+                break
+
+        # Any slot the shared bucket still can't fit (pathological tiny
+        # configs) degrades to its own sequential turn.
+        rows, odd = [], []
+        for i in fired:
+            slot = self.slots[i]
+            budget = int(slot.cache.length[0]) + shared + slot.max_new_tokens
+            (rows if budget <= eng.kv_capacity else odd).append(i)
+        texts: Dict[int, str] = {i: self._cognify_slot(i, spans[i]) for i in odd}
+        if not rows:
+            return texts
+        if len(rows) == 1:
+            texts[rows[0]] = self._cognify_slot(rows[0], spans[rows[0]])
+            return texts
+
+        K = len(rows)
+        kb = next((b for b in self._k_buckets if b >= K), K)
+        pad = kb - K
+        plans = [
+            build_turn_plan(eng, self.slots[i].tokenizer, spans[i],
+                            self.slots[i].pending_ids, pad_to=shared)
+            for i in rows
+        ] + [None] * pad
+        plans[K:] = [plans[0]] * pad
+        mem_rows = jnp.asarray(np.asarray(rows + [rows[0]] * pad))
+        memory = jnp.take(self.state.memory, mem_rows, axis=0)
+        cache = stack_kv_caches(
+            [self.slots[i].cache for i in rows]
+            + [self.slots[rows[0]].cache] * pad
+        )
+        limits = [self.slots[i].max_new_tokens for i in rows] + [0] * pad
+        active = [True] * K + [False] * pad
+
+        last, cache = eng.prefill_batch(plans, memory, cache)
+        tok_lists, _steps, cache = eng.generate_from_prefill_batch(
+            last, cache, limits, active=active
+        )
+        parts = split_kv_cache(cache, K)
+        for j, i in enumerate(rows):
+            slot = self.slots[i]
+            slot.interval_ids.append(slot.frame_idx)
+            text = decode_tokens_to_text(slot.tokenizer, tok_lists[j])
+            slot.turns.append(text)
+            slot.pending_ids = post_turn_pending(slot.tokenizer)
+            slot.cache = parts[j]
+            slot.last_fire = min(slot.frame_idx, cfg.max_stream_frames)
+            texts[i] = text
+        return texts
+
+    def _cognify_slot(self, i: int, span: Optional[list] = None) -> str:
+        slot = self.slots[i]
+        cfg = self.engine.cfg
+        cur = min(slot.frame_idx, cfg.max_stream_frames)
+        if span is None:
+            span = self._slot_span(i)
         slot.interval_ids.append(slot.frame_idx)
 
         slot.pending_ids, slot.cache = ensure_turn_capacity(

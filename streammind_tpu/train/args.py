@@ -59,6 +59,12 @@ class TrainingArguments:
     seed: int = 42
     grad_clip: float = 1.0
     gradient_checkpointing: bool = True
+    # attention kernel for the training forward/backward.  "auto" resolves to
+    # the Pallas flash kernels (fwd + custom-vjp bwd; 9.6x faster than
+    # jnp+remat at 2048 ctx on v5e) on TPU and to the jnp reference on CPU
+    # (interpret-mode Pallas is slow).  The reference trains with flash-attn
+    # 2.5.8 (requirements.txt:87, train_flash_attn_score.py:13).
+    attn_impl: str = "auto"
     resume: bool = True
     # LoRA (reference lora_enable/lora_r/lora_alpha, train_new_stream.py:110-118)
     lora_enable: bool = False

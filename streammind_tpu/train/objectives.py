@@ -51,6 +51,7 @@ def stage1_llm_loss(
     plan_attn_mask: jax.Array,   # (1, P)
     labels: jax.Array,           # (1, P)
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Spliced multimodal LM loss.  Memory tokens come from the Mamba
     projector over the frame features; the vision tower is frozen upstream
@@ -62,7 +63,7 @@ def stage1_llm_loss(
     )
     logits, _ = lm.text_forward(
         params["text"], cfg.text, inputs_embeds=embeds, attn_mask=plan_attn_mask,
-        remat=remat,
+        remat=remat, attn_impl=attn_impl,
     )
     loss, _ = lm_cross_entropy(logits, labels)
     return loss
@@ -75,12 +76,13 @@ def text_only_llm_loss(
     attn_mask: jax.Array,   # (B, P)
     labels: jax.Array,      # (B, P)
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Plain LM loss for text-only SFT records (no modal slot — the
     reference splices an empty feature span, videollama2_arch.py:655-663)."""
     logits, _ = lm.text_forward(
         params["text"], cfg.text, input_ids=token_ids, attn_mask=attn_mask,
-        remat=remat,
+        remat=remat, attn_impl=attn_impl,
     )
     loss, _ = lm_cross_entropy(logits, labels)
     return loss

@@ -463,6 +463,12 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
             return {**p, "text": apply_lora(p["text"], p["lora"], lora_scaling)}
 
+        # "auto": Pallas flash fwd+bwd on TPU (9.6x over jnp+remat at 2048
+        # ctx); jnp reference on CPU where Pallas runs interpreted
+        attn_impl = training_args.attn_impl
+        if attn_impl == "auto":
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
+
         if stage == "cls":
             def loss_fn(p, b):
                 return stage2_gate_loss(p, cfg, b["frames"], b["labels"], b["mask"])
@@ -472,12 +478,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                     _effective(p), cfg, b["frames"], b["token_ids"], b["mem_index"],
                     b["use_mem"], b["attn_mask"], b["labels"],
                     remat=training_args.gradient_checkpointing,
+                    attn_impl=attn_impl,
                 )
 
         def text_loss_fn(p, b):
             return text_only_llm_loss(
                 _effective(p), cfg, b["token_ids"], b["attn_mask"], b["labels"],
                 remat=training_args.gradient_checkpointing,
+                attn_impl=attn_impl,
             )
 
         step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))

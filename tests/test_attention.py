@@ -5,8 +5,10 @@ import numpy as np
 import pytest
 
 from streammind_tpu.ops.attention import (
+    attention,
     decode_attention,
     flash_attention,
+    flash_mha,
     mha_reference,
 )
 
@@ -57,6 +59,81 @@ def test_flash_matches_reference(rng, causal):
         block_q=8, block_k=8,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_mha_grad_matches_reference(rng, causal):
+    """Pallas flash backward (custom_vjp) == autodiff through the jnp
+    reference, fp32, incl. GQA head-group summation and right-padding masks
+    (VERDICT r1 item 5 — the reference's flash-attn 2.5.8 training kernel,
+    requirements.txt:87)."""
+    B, SQ, SK, H, HKV, D = 2, 24, 24, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, SQ, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, SK, HKV, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, SK, HKV, D)), jnp.float32)
+    kv_len = jnp.asarray([17, 24], jnp.int32)
+    kv_mask = jnp.arange(SK)[None, :] < kv_len[:, None]
+    # cotangent weights make the scalar loss exercise every output entry
+    w = jnp.asarray(rng.standard_normal((B, SQ, H, D)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_mha(q, k, v, kv_len, causal, 8, 8)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        out = mha_reference(q, k, v, causal=causal, kv_mask=kv_mask)
+        return jnp.sum(out * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+    # forward values agree too
+    np.testing.assert_allclose(
+        float(loss_flash(q, k, v)), float(loss_ref(q, k, v)), rtol=1e-4
+    )
+
+
+def test_flash_mha_grad_bf16(rng):
+    """bf16 training dtype: grads close to the fp32 reference at bf16
+    tolerance (the production training precision)."""
+    B, SQ, H, HKV, D = 1, 16, 4, 2, 16
+    q32 = rng.standard_normal((B, SQ, H, D)).astype(np.float32)
+    k32 = rng.standard_normal((B, SQ, HKV, D)).astype(np.float32)
+    v32 = rng.standard_normal((B, SQ, HKV, D)).astype(np.float32)
+    q, k, v = (jnp.asarray(x, jnp.bfloat16) for x in (q32, k32, v32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, None, True, 8, 8).astype(jnp.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        *(jnp.asarray(x) for x in (q32, k32, v32))
+    )
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), rtol=0.1, atol=0.05
+        )
+
+
+def test_attention_dispatcher_flash_is_differentiable(rng):
+    """attention(impl='flash') must be usable under jax.grad (training path)."""
+    B, S, H, D = 1, 16, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    g = jax.grad(
+        lambda q: jnp.sum(attention(q, k, v, causal=True, impl="flash"))
+    )(q)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(attention(q, k, v, causal=True, impl="auto"))
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
 def test_decode_attention_matches_prefix(rng):
