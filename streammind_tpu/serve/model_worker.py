@@ -46,8 +46,8 @@ class ModelWorker:
         no_register: bool = False,
         model=None,
         tokenizer=None,
-        quantize_gate: bool = True,
-        fast_vision: bool = True,
+        quantize_gate: bool = False,
+        fast_vision: bool = False,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -63,8 +63,11 @@ class ModelWorker:
         if model is None:
             from ..api import model_init
 
-            # serving defaults: int8 gate + bf16-softmax ViT (the measured
-            # 160 fps / 267 fps-aggregate configuration; PARITY.md)
+            # defaults are the BIT-FAITHFUL config (quantize_gate/fast_vision
+            # off).  The fast config (int8 gate + bf16-softmax ViT, the
+            # measured 160 fps / 267 fps-aggregate numbers) deviates ~2% on
+            # features / 0.08 gate prob on random init only — opt in via
+            # --quantize-gate/--fast-vision until validated on real weights
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
             )
@@ -381,10 +384,12 @@ def main():
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
-    parser.add_argument("--no-quantize-gate", action="store_true",
-                        help="full-precision gate (default: weight-only int8)")
-    parser.add_argument("--no-fast-vision", action="store_true",
-                        help="fp32-softmax ViT (default: bf16 softmax)")
+    parser.add_argument("--quantize-gate", action="store_true",
+                        help="weight-only int8 gate (fast config; "
+                             "default: bit-faithful full precision)")
+    parser.add_argument("--fast-vision", action="store_true",
+                        help="bf16-softmax ViT (fast config; "
+                             "default: bit-faithful fp32 softmax)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -393,8 +398,8 @@ def main():
         args.model_name,
         args.limit_model_concurrency,
         args.no_register,
-        quantize_gate=not args.no_quantize_gate,
-        fast_vision=not args.no_fast_vision,
+        quantize_gate=args.quantize_gate,
+        fast_vision=args.fast_vision,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

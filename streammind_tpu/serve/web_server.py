@@ -3,6 +3,13 @@ serve/gradio_web_server.py) on the standard library: one HTML page with
 fetch-streaming JS, served next to a JSON proxy to the controller.
 
   python -m streammind_tpu.serve.web_server --controller-url http://...:10000
+
+Adhoc mode — the gradio_web_server_adhoc role (reference
+serve/gradio_web_server_adhoc.py:77-133: in-process Chat wrapper, no
+controller/worker): pass --model-path to load the model in this process and
+serve the same UI straight off it.
+
+  python -m streammind_tpu.serve.web_server --model-path /path/to/ckpt
 """
 from __future__ import annotations
 
@@ -97,7 +104,10 @@ refresh();
 """
 
 
-def make_handler(controller_url: str):
+def make_handler(controller_url=None, worker=None):
+    """controller_url → proxy mode (controller + workers); worker → adhoc
+    in-process mode (the reference's gradio_web_server_adhoc role)."""
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             logger.info("%s - %s" % (self.address_string(), fmt % args))
@@ -110,21 +120,31 @@ def make_handler(controller_url: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _json(self, out: dict):
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
             data = json.loads(self.rfile.read(length) or b"{}")
             if self.path == "/api/list_models":
-                out = http_post_json(controller_url + "/list_models", {})
-                body = json.dumps(out).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                if worker is not None:
+                    self._json({"models": [worker.model_name]})
+                else:
+                    self._json(http_post_json(controller_url + "/list_models", {}))
             elif self.path == "/api/generate":
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
+                if worker is not None:
+                    for chunk in worker.generate_stream_gate(data):
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+                    return
                 req = urllib.request.Request(
                     controller_url + "/worker_generate_stream",
                     data=json.dumps(data).encode(),
@@ -149,9 +169,23 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--controller-url", default="http://localhost:10000")
+    parser.add_argument("--model-path", default=None,
+                        help="adhoc mode: load the model in-process and serve "
+                             "it directly (no controller/worker needed)")
     args = parser.parse_args()
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(args.controller_url))
-    logger.info(f"web ui on http://{args.host}:{args.port}")
+    if args.model_path:
+        from .model_worker import ModelWorker
+
+        worker = ModelWorker(
+            controller_addr="", worker_addr="", model_path=args.model_path,
+            no_register=True,
+        )
+        handler = make_handler(worker=worker)
+        logger.info(f"adhoc web ui (in-process model) on http://{args.host}:{args.port}")
+    else:
+        handler = make_handler(controller_url=args.controller_url)
+        logger.info(f"web ui on http://{args.host}:{args.port}")
+    server = ThreadingHTTPServer((args.host, args.port), handler)
     server.serve_forever()
 
 

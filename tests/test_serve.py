@@ -114,6 +114,60 @@ def test_http_end_to_end_stream(rng):
 
 
 @pytest.mark.slow
+def test_adhoc_web_server(rng):
+    """In-process (no-controller) web UI mode — the reference's
+    gradio_web_server_adhoc role (gradio_web_server_adhoc.py:77-133): the
+    page serves, /api/list_models answers from the embedded worker, and
+    /api/generate streams straight off the in-process model."""
+    from http.server import ThreadingHTTPServer
+
+    from streammind_tpu.serve.web_server import make_handler
+
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jax.numpy.float32
+    )
+    worker = ModelWorker(
+        controller_addr="", worker_addr="", model_path="", model_name="tiny",
+        model=model, tokenizer=tok, no_register=True,
+    )
+    port = _free_port()
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(worker=worker))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.1)
+
+    page = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30).read()
+    assert b"StreamMind-TPU" in page
+
+    models = http_post_json(f"http://127.0.0.1:{port}/api/list_models", {})["models"]
+    assert models == ["tiny"]
+
+    video = rng.standard_normal(
+        (2, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    payload = {
+        "prompt": "[INST] <video>\n describe [/INST]",
+        "video": video.tolist(),
+        "max_new_tokens": 4,
+        "temperature": 0.0,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        for part in resp.read().split(b"\0"):
+            if part:
+                chunks.append(json.loads(part.decode()))
+    assert chunks and all(c["error_code"] == 0 for c in chunks)
+    server.shutdown()
+
+
+@pytest.mark.slow
 def test_streaming_session_http(rng):
     """Live streaming-session API: start → frames (silence/fire) → stop."""
     import base64
