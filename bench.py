@@ -22,7 +22,7 @@ def main():
     from streammind_tpu.models.vit import init_vit_params, vit_forward
     from streammind_tpu.utils.params import cast_tree
 
-    from streammind_tpu.utils.quantize import quantize_gate_params
+    from streammind_tpu.utils.quantize import quantize_gate_params, quantize_vit_params
 
     cfg = StreamMindConfig()
     key = jax.random.PRNGKey(0)
@@ -34,10 +34,12 @@ def main():
         },
         jnp.bfloat16,
     )
-    # serving configuration: weight-only int8 gate (engine quantize_gate=True;
-    # decisions agree with bf16 within the tested 0.08 prob tolerance).
-    # bf16 gate: 134 fps; int8 gate: 158 fps (see PARITY.md).
+    # serving configuration (the engine's fast tier): weight-only int8 gate
+    # (decisions agree with bf16 within the tested 0.08 prob tolerance) +
+    # int8-MXU ViT (features within 2.2% rms of bf16, cos > 0.9997).
+    # bf16 everything: 134 fps; +int8 gate: 160; +int8 ViT: see output.
     params["projector"]["cls_net"] = quantize_gate_params(params["projector"]["cls_net"])
+    params["vision"] = quantize_vit_params(params["vision"])
 
     @jax.jit
     def perceive(params, pixels, mamba_state):

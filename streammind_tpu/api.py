@@ -83,7 +83,7 @@ def model_init(
     tokenizer=None,
     seed: int = 0,
     quantize_gate: bool = False,
-    fast_vision: bool = False,
+    fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 

@@ -82,20 +82,39 @@ def _embed(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
     return x + params["position_embedding"].astype(x.dtype)[None]
 
 
+def _linear_q(x, p):
+    """Encoder-layer linear.  Full-precision weights defer to utils.linear;
+    int8 leaves (utils.quantize.quantize_vit_params) run the matmul on the
+    int8 MXU path (2x peak on v5e): activations are dynamically quantized
+    per sample (symmetric absmax over the token block — one cheap reduce),
+    int8xint8→int32, then rescaled by act_scale * per-channel weight scale.
+    """
+    if "w_int8" not in p:
+        return linear(x, p)
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1), keepdims=True)
+    ax = jnp.maximum(ax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax), -127, 127).astype(jnp.int8)
+    y = jnp.einsum("bsd,od->bso", xq, p["w_int8"], preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * ax * p["scale"].astype(jnp.float32)[None, None, :]
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _encoder_layer(x, lp, cfg: VisionConfig, attn_impl: str):
     b, s, d = x.shape
     h = cfg.num_heads
     hd = cfg.head_dim
     res = x
     y = layer_norm(x, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
-    q = linear(y, lp["q"]).reshape(b, s, h, hd)
-    k = linear(y, lp["k"]).reshape(b, s, h, hd)
-    v = linear(y, lp["v"]).reshape(b, s, h, hd)
+    q = _linear_q(y, lp["q"]).reshape(b, s, h, hd)
+    k = _linear_q(y, lp["k"]).reshape(b, s, h, hd)
+    v = _linear_q(y, lp["v"]).reshape(b, s, h, hd)
     o = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, s, d)
-    x = res + linear(o, lp["o"])
+    x = res + _linear_q(o, lp["o"])
     res = x
     y = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-    y = linear(quick_gelu(linear(y, lp["fc1"])), lp["fc2"])
+    y = _linear_q(quick_gelu(_linear_q(y, lp["fc1"])), lp["fc2"])
     return res + y
 
 

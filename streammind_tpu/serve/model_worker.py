@@ -387,9 +387,10 @@ def main():
     parser.add_argument("--quantize-gate", action="store_true",
                         help="weight-only int8 gate (fast config; "
                              "default: bit-faithful full precision)")
-    parser.add_argument("--fast-vision", action="store_true",
-                        help="bf16-softmax ViT (fast config; "
-                             "default: bit-faithful fp32 softmax)")
+    parser.add_argument("--fast-vision", choices=["bf16", "int8"], default=None,
+                        help="fast ViT tier: bf16 = bf16-softmax blocks; "
+                             "int8 = int8-MXU matmuls + bf16 softmax "
+                             "(default: bit-faithful fp32 softmax)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -399,7 +400,7 @@ def main():
         args.limit_model_concurrency,
         args.no_register,
         quantize_gate=args.quantize_gate,
-        fast_vision=args.fast_vision,
+        fast_vision={None: False, "bf16": True, "int8": "int8"}[args.fast_vision],
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -44,13 +44,21 @@ class StreamMindEngine:
         kv_capacity: Optional[int] = None,
         attn_impl: str = "auto",
         quantize_gate: bool = False,
-        fast_vision: bool = False,
+        fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
     ):
         if fast_vision and attn_impl == "auto":
             # bf16-softmax ViT blocks: ~20% faster perception on v5e with
             # ~2% feature error vs fp32 softmax (serve-path option, like
             # quantize_gate)
             attn_impl = "bf16"
+        if fast_vision == "int8" and "vision" in params:
+            # int8-MXU ViT tier: dynamic activation quant + int8 weights —
+            # 4.46 → 3.10 ms/frame (B=1), 24.4 → 14.5 ms at B=8 on v5e;
+            # features within 2.2% rms of bf16 (utils/quantize.py)
+            from ..utils.quantize import quantize_vit_params
+
+            params = dict(params)
+            params["vision"] = quantize_vit_params(params["vision"])
         if quantize_gate and "cls_net" in params.get("projector", {}):
             # weight-only int8 on the per-frame gate LM — it is pure weight
             # bandwidth on the perception hot path (utils/quantize.py)

@@ -1,0 +1,321 @@
+"""Paged KV cache: many dialogues share one page pool on a chip.
+
+Replaces per-dialogue static rings (models/mistral.py KVCache — capacity
+8192 ≈ 1.07 GB per dialogue at 7B bf16) with a SHARED pool of fixed-size
+pages plus per-dialogue page tables, so resident memory tracks the SUM of
+actual dialogue lengths instead of n_dialogues × max capacity.  This is the
+vLLM PagedAttention memory model, TPU-native: static shapes everywhere
+(pool, tables and token buffers never change shape, so every program
+compiles once), page indirection via gathers/scatters, and the in-tree
+Pallas paged-attention kernel (jax.experimental.pallas.ops.tpu.
+paged_attention) on the decode hot path.
+
+The reference has no paged cache (its demo holds ONE dialogue's
+past_key_values, videollama2_mistral.py:385-439); this is the serving-
+density requirement BASELINE.json config 5 implies — one chip, many
+concurrent dialogues.
+
+Layout (per layer, matching the in-tree kernel):
+  pool.k/v: (L, Hkv, num_pages, page_size, D)
+  table:    (B, max_pages_per_seq) int32 pool page ids
+  length:   (B,) int32 valid tokens
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TextConfig
+from ..models import mistral as lm
+from ..models.meta import SplicePlan, splice_embeds
+from ..ops.attention import flash_attention, mha_reference
+from ..ops.norms import rms_norm
+from ..ops.rotary import apply_rope, rope_cos_sin
+from ..utils.params import linear
+
+
+class PagedKV(NamedTuple):
+    """Shared page pool.  k/v: (L, Hkv, P, page_size, D)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[2]
+
+
+def init_page_pool(
+    cfg: TextConfig, num_pages: int, page_size: int = 64, dtype=jnp.bfloat16
+) -> PagedKV:
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return PagedKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# forward over the paged cache
+# ---------------------------------------------------------------------------
+def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
+    """Scatter a (B, S, Hkv, D) block into the pool at positions
+    length..length+S-1 of each row (pages via the table)."""
+    b, s, hkv, d = k_new.shape
+    pos = length[:, None] + jnp.arange(s)[None, :]           # (B, S)
+    page_slot = jnp.take_along_axis(table, pos // page_size, axis=1)  # (B, S)
+    offset = pos % page_size
+    # pool (Hkv, P, page, D); indices broadcast over the head axis
+    k_t = jnp.moveaxis(k_new, 2, 0).astype(pool_k.dtype)     # (Hkv, B, S, D)
+    v_t = jnp.moveaxis(v_new, 2, 0).astype(pool_v.dtype)
+    pool_k = pool_k.at[:, page_slot, offset, :].set(k_t)
+    pool_v = pool_v.at[:, page_slot, offset, :].set(v_t)
+    return pool_k, pool_v
+
+
+def _gather_seq(pool_side, table):
+    """(Hkv, P, page, D) + (B, maxp) → (B, maxp*page, Hkv, D) contiguous view
+    of each row's logical cache (prefill path; bandwidth ∝ allocated pages)."""
+    g = pool_side[:, table]                                  # (Hkv, B, maxp, page, D)
+    hkv, b, mp, pg, d = g.shape
+    return g.transpose(1, 2, 3, 0, 4).reshape(b, mp * pg, hkv, d)
+
+
+def _paged_decode_attention(q, pool_k, pool_v, table, length):
+    """One-token decode attention over the paged cache.
+
+    q: (B, 1, H, D).  On TPU this is the in-tree Pallas paged-attention
+    kernel (reads only the valid pages — bandwidth ∝ actual length); on CPU
+    (tests) a reference gather + masked attention.
+    """
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+        mp = table.shape[1]
+        ppcb = next(d for d in (8, 4, 2, 1) if mp % d == 0)
+        # the kernel applies NO softmax scale (qk = q·k raw) — pre-scale q
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+        out = paged_attention(
+            (q[:, 0] * scale).astype(q.dtype),  # (B, H, D)
+            pool_k, pool_v, length, table,
+            pages_per_compute_block=ppcb,
+        )
+        return out[:, None]
+    k_seq = _gather_seq(pool_k, table)
+    v_seq = _gather_seq(pool_v, table)
+    kv_mask = jnp.arange(k_seq.shape[1])[None, :] < length[:, None]
+    return mha_reference(q, k_seq.astype(q.dtype), v_seq.astype(q.dtype), kv_mask=kv_mask)
+
+
+def paged_text_forward(
+    params,
+    cfg: TextConfig,
+    pool: PagedKV,
+    table: jax.Array,   # (B, max_pages)
+    length: jax.Array,  # (B,)
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    cache_advance: Optional[jax.Array] = None,
+):
+    """text_forward's cache branch over the paged pool: append the block at
+    `length`, attend to the whole valid prefix, return (logits, pool).
+    `length` advances by cache_advance (per row) — the caller tracks it."""
+    x = inputs_embeds if inputs_embeds is not None else lm.embed_tokens(params, input_ids)
+    b, s, d = x.shape
+    page_size = pool.page_size
+    positions = length[:, None] + jnp.arange(s)[None, :]
+
+    def body(h, layer):
+        lp, pk, pv = layer
+        y = rms_norm(h, lp["input_norm"]["weight"], cfg.rms_norm_eps)
+        q = linear(y, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = linear(y, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(y, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pk, pv = _write_block(pk, pv, k, v, table, length, page_size)
+
+        if s == 1:
+            o = _paged_decode_attention(q, pk, pv, table, length + 1)
+        else:
+            k_seq = _gather_seq(pk, table).astype(q.dtype)
+            v_seq = _gather_seq(pv, table).astype(q.dtype)
+            o = flash_attention(
+                q, k_seq, v_seq, causal=True, kv_len=length + s, q_offset=length
+            )
+        a = linear(o.reshape(b, s, cfg.q_dim), lp["o"])
+        h = h + a
+        y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
+        h = h + lm._mlp(y, lp, cfg)
+        return h, (pk, pv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], pool.k, pool.v))
+    x = rms_norm(x, params["final_norm"]["weight"], cfg.rms_norm_eps)
+    logits = lm.lm_head(params, cfg, x)
+    return logits, PagedKV(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# host-side page allocator + per-dialogue state
+# ---------------------------------------------------------------------------
+class PagePoolExhausted(RuntimeError):
+    pass
+
+
+class PagedDialogues:
+    """Host allocator + engine programs for N dialogues on one shared pool.
+
+    Each dialogue owns a page table (host list) and a token length; prefill
+    and decode run as compile-once programs over (pool, table, length).  When
+    the pool runs dry, ensure_capacity raises PagePoolExhausted — the serving
+    layer evicts (drop the oldest dialogue, reclaim its pages), mirroring the
+    dense path's ensure_turn_capacity reset semantics.
+    """
+
+    def __init__(self, engine, num_pages: int, page_size: int = 64,
+                 max_pages_per_seq: Optional[int] = None, dtype=None):
+        self.engine = engine
+        cfg = engine.cfg.text
+        if dtype is None:
+            dtype = jax.tree.leaves(engine.params["text"])[0].dtype
+        self.page_size = page_size
+        self.pool = init_page_pool(cfg, num_pages, page_size, dtype)
+        self.max_pages = max_pages_per_seq or min(
+            num_pages, -(-engine.kv_capacity // page_size)
+        )
+        self._free: List[int] = list(range(num_pages))
+        self.tables: dict = {}   # dialogue id -> list of page ids
+        self.lengths: dict = {}  # dialogue id -> int
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._decode = jax.jit(self._decode_impl, static_argnums=(5,),
+                               donate_argnums=(1,))
+
+    # -- allocator ---------------------------------------------------------
+    def open(self, did: str) -> None:
+        if did in self.tables:
+            raise ValueError(f"dialogue {did!r} already open")
+        self.tables[did] = []
+        self.lengths[did] = 0
+
+    def close(self, did: str) -> None:
+        self._free.extend(self.tables.pop(did))
+        del self.lengths[did]
+
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def ensure_capacity(self, did: str, n_tokens: int) -> None:
+        """Allocate pages so dialogue `did` can hold n_tokens more tokens."""
+        need_total = -(-(self.lengths[did] + n_tokens) // self.page_size)
+        grow = need_total - len(self.tables[did])
+        if need_total > self.max_pages:
+            raise PagePoolExhausted(
+                f"dialogue {did!r} needs {need_total} pages > per-seq max "
+                f"{self.max_pages}"
+            )
+        if grow > len(self._free):
+            raise PagePoolExhausted(
+                f"pool dry: need {grow} pages, {len(self._free)} free"
+            )
+        for _ in range(max(grow, 0)):
+            self.tables[did].append(self._free.pop())
+
+    def _table_arr(self, did: str) -> jax.Array:
+        t = self.tables[did]
+        pad = self.max_pages - len(t)
+        return jnp.asarray(t + [0] * pad, jnp.int32)[None]
+
+    # -- engine programs ----------------------------------------------------
+    def _prefill_impl(self, params, pool, table, length,
+                      token_ids, mem_index, use_mem, memory, real_len):
+        embeds = splice_embeds(params["text"], token_ids, mem_index, use_mem, memory)
+        logits, pool = paged_text_forward(
+            params["text"], self.engine.cfg.text, pool, table, length,
+            inputs_embeds=embeds,
+        )
+        idx = jnp.maximum(real_len - 1, 0).astype(jnp.int32)[:, None, None]
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0, :]
+        return last, pool
+
+    def _decode_impl(self, params, pool, table, length, first_token, max_new: int,
+                     eos_id, temperature, rng_key):
+        cfg = self.engine.cfg.text
+
+        def cond(carry):
+            i, tok, pool, length, buf, done, key = carry
+            return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(done)))
+
+        def body(carry):
+            i, tok, pool, length, buf, done, key = carry
+            buf = buf.at[:, i].set(jnp.where(done, eos_id, tok))
+            logits, pool = paged_text_forward(
+                params["text"], cfg, pool, table, length, input_ids=tok[:, None]
+            )
+            length = length + jnp.where(done, 0, 1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            last = logits[:, -1]
+            nxt = jnp.where(
+                temperature > 0,
+                jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
+                jnp.argmax(last, axis=-1),
+            ).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            done = jnp.logical_or(done, nxt == eos_id)
+            return (i + 1, nxt, pool, length, buf, done, key)
+
+        buf = jnp.full((first_token.shape[0], max_new), eos_id, jnp.int32)
+        done0 = first_token == eos_id
+        _, _, pool, length, buf, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), first_token, pool, length, buf, done0, rng_key),
+        )
+        return buf, length, pool
+
+    # -- per-turn API --------------------------------------------------------
+    def run_turn(self, did: str, plan: SplicePlan, memory,
+                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 rng_key=None) -> List[int]:
+        """One cognition turn for dialogue `did` over the shared pool:
+        bucketed prefill of the spliced suffix + greedy/sampled decode.
+        Returns the generated token list."""
+        eng = self.engine
+        bucket = len(plan.token_ids)
+        self.ensure_capacity(did, bucket + max_new_tokens)
+        table = self._table_arr(did)
+        length = jnp.asarray([self.lengths[did]], jnp.int32)
+
+        last, self.pool = self._prefill(
+            eng.params, self.pool, table, length,
+            jnp.asarray(plan.token_ids)[None], jnp.asarray(plan.mem_index)[None],
+            jnp.asarray(plan.use_mem)[None], memory,
+            jnp.asarray([plan.length], jnp.int32),
+        )
+        self.lengths[did] += plan.length
+        length = jnp.asarray([self.lengths[did]], jnp.int32)
+
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        rng_key, k0 = jax.random.split(rng_key)
+        if temperature > 0:
+            first = jax.random.categorical(
+                k0, last.astype(jnp.float32) / max(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32)
+        else:
+            first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+        buf, new_len, self.pool = self._decode(
+            eng.params, self.pool, table, length, first, max_new_tokens,
+            jnp.int32(eng.eos_token_id), jnp.float32(temperature), rng_key,
+        )
+        self.lengths[did] = int(new_len[0])
+        toks = []
+        for t in np.asarray(buf[0]):
+            if int(t) == eng.eos_token_id:
+                break
+            toks.append(int(t))
+        return toks

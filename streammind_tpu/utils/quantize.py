@@ -33,6 +33,27 @@ def dequantize_linear_weight(p: dict, dtype=jnp.float32) -> jax.Array:
     return (p["w_int8"].astype(jnp.float32) * p["scale"][..., None]).astype(dtype)
 
 
+def quantize_vit_params(vit_params: dict) -> dict:
+    """int8-MXU quantization of the ViT encoder (the fast_vision="int8"
+    serving tier).  Unlike the weight-only gate quant, the ViT is
+    COMPUTE-bound at serving batch sizes, so the win is the v5e's 2x int8
+    MXU throughput: activations are dynamically quantized per sample and the
+    matmul runs int8xint8→int32 (models/vit.py dispatches on "w_int8").
+    Measured on one v5e chip: 4.46 → 3.10 ms per ViT-L/14-336 frame (B=1),
+    24.4 → 14.5 ms at B=8; features within 2.2% rms of bf16 (cos > 0.9997).
+    Embeddings and layer norms stay full precision."""
+    out = dict(vit_params)
+    layers = dict(out["layers"])
+    for name in ("q", "k", "v", "o", "fc1", "fc2"):
+        leaf = layers[name]
+        q = quantize_linear_weight(leaf["weight"])
+        if "bias" in leaf:
+            q["bias"] = leaf["bias"]
+        layers[name] = q
+    out["layers"] = layers
+    return out
+
+
 def quantize_gate_params(cls_net_params: dict) -> dict:
     """Quantize every attention/MLP projection of the gate LM in place
     (embeddings, norms and the 2-way lm_head stay full precision)."""

@@ -347,6 +347,38 @@ def test_quantized_gate_close_to_fp(setup, rng):
     assert agree >= 7, agree
 
 
+def test_int8_vision_close_to_fp(setup, rng):
+    """fast_vision='int8' (int8-MXU ViT): gate probabilities stay close to
+    full precision and decisions agree (the serving fast-tier contract, same
+    as the int8 gate's)."""
+    from streammind_tpu.models.vit import vit_forward
+    from streammind_tpu.utils.quantize import quantize_vit_params
+
+    cfg, params, _ = setup
+    # feature-level: quantized ViT features within a few % of fp32
+    pixels = jnp.asarray(rng.standard_normal(
+        (2, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+    f_fp = np.asarray(vit_forward(params["vision"], cfg.vision, pixels), np.float32)
+    f_q = np.asarray(vit_forward(
+        quantize_vit_params(params["vision"]), cfg.vision, pixels), np.float32)
+    cos = (f_fp * f_q).sum() / (np.linalg.norm(f_fp) * np.linalg.norm(f_q) + 1e-9)
+    assert cos > 0.995, cos
+
+    # decision-level: engine with the int8 tier agrees with full precision
+    eng_fp = StreamMindEngine(params, cfg, eos_token_id=2, prefill_buckets=(32,))
+    eng_q = StreamMindEngine(params, cfg, eos_token_id=2, prefill_buckets=(32,),
+                             fast_vision="int8")
+    agree = 0
+    for i in range(8):
+        frame = jnp.asarray(rng.standard_normal(
+            (1, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+        p_fp, _ = eng_fp.perceive_step(frame, init_stream_state(cfg))
+        p_q, _ = eng_q.perceive_step(frame, init_stream_state(cfg))
+        np.testing.assert_allclose(np.asarray(p_q), np.asarray(p_fp), atol=0.1)
+        agree += int(np.argmax(np.asarray(p_q)) == np.argmax(np.asarray(p_fp)))
+    assert agree >= 7, agree
+
+
 def test_session_cache_follows_param_dtype():
     """A bf16 model must get a bf16 KV cache by default (a fp32 cache breaks
     the decode scan's carry dtype) and force_fire must decode a turn."""
