@@ -84,6 +84,8 @@ def model_init(
     seed: int = 0,
     quantize_gate: bool = False,
     fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
+    load_8bit: bool = False,
+    load_4bit: bool = False,
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 
@@ -128,6 +130,17 @@ def model_init(
                 tokenizer.pad_token = tokenizer.unk_token
         except Exception:
             tokenizer = None
+
+    if load_8bit or load_4bit:
+        # quantized decoder loading — the reference's load_8bit/load_4bit
+        # bitsandbytes flags (model/builder.py:43-52): the 7B text tower
+        # rests at int8 (per-channel) or packed int4 (group-64)
+        from .utils.quantize import quantize_text_params
+
+        params = dict(params)
+        params["text"] = quantize_text_params(
+            params["text"], bits=4 if load_4bit else 8
+        )
 
     eos_id = getattr(tokenizer, "eos_token_id", 2) if tokenizer else 2
     engine = StreamMindEngine(
@@ -262,8 +275,9 @@ def _stop_strings(version: str) -> list:
 
 
 def engine_dtype(model: StreamMindModel):
-    leaf = jax.tree.leaves(model.params["vision"])[0]
-    return leaf.dtype
+    from .streaming.engine import _float_dtype
+
+    return _float_dtype(model.params["vision"])
 
 
 def x_infer(video, question, model, tokenizer, mode: str = "vanilla",

@@ -31,6 +31,17 @@ from .state import StreamState, init_stream_state
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
+def _float_dtype(tree):
+    """First floating-point leaf dtype (skips int8/int4 quantized leaves)."""
+    import numpy as _np
+
+    for leaf in jax.tree.leaves(tree):
+        if _np.issubdtype(leaf.dtype, _np.floating):
+            return leaf.dtype
+    return jnp.bfloat16
+
+
+
 class StreamMindEngine:
     """Holds params + compiled programs.  One instance per model replica;
     many StreamSession objects can share it (each owns its StreamState)."""
@@ -431,7 +442,7 @@ class StreamMindEngine:
         n_ret = num_return_sequences or num_beams
 
         if kv_dtype is None:
-            kv_dtype = jax.tree.leaves(self.params["text"])[0].dtype
+            kv_dtype = _float_dtype(self.params["text"])
         cache1 = lm.init_kv_cache(self.cfg.text, 1, self.kv_capacity, kv_dtype)
         last, cache1 = self.prefill(plan, memory, cache1)
         logp0 = jax.nn.log_softmax(last[0].astype(jnp.float32))
@@ -504,7 +515,7 @@ class StreamMindEngine:
         """dtype None → follow the decoder weights (a fp32 cache under bf16
         params breaks the decode scan's carry dtype and doubles KV traffic)."""
         if dtype is None:
-            dtype = jax.tree.leaves(self.params["text"])[0].dtype
+            dtype = _float_dtype(self.params["text"])
         return lm.init_kv_cache(self.cfg.text, batch=1, capacity=self.kv_capacity, dtype=dtype)
 
     def prefill(self, plan: SplicePlan, memory: jax.Array, cache):

@@ -182,7 +182,9 @@ class PagedDialogues:
         self.engine = engine
         cfg = engine.cfg.text
         if dtype is None:
-            dtype = jax.tree.leaves(engine.params["text"])[0].dtype
+            from .engine import _float_dtype
+
+            dtype = _float_dtype(engine.params["text"])
         self.page_size = page_size
         self.pool = init_page_pool(cfg, num_pages, page_size, dtype)
         self.max_pages = max_pages_per_seq or min(

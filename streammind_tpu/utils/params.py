@@ -55,6 +55,13 @@ def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     if "w_int8" in p:
         # (out,) scale broadcasts over all leading dims
         y = (x @ p["w_int8"].T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif "w_int4" in p:
+        # packed-int4 loader path (utils.quantize.quantize_text_params,
+        # bits=4): weights rest at 4 bits + group scales, dequantized on
+        # the fly (the reference's bnb load_in_4bit role)
+        from .quantize import dequantize_linear_weight_int4
+
+        y = x @ dequantize_linear_weight_int4(p, x.dtype).T
     else:
         y = x @ p["weight"].T.astype(x.dtype)
     if "bias" in p:
