@@ -46,6 +46,9 @@ def main():
     parser.add_argument("--fps", type=float, default=2.0)
     parser.add_argument("--gate-threshold", type=float, default=None,
                         help="None = argmax (random-weights demo fires ~50%)")
+    parser.add_argument("--fast-vision", choices=["off", "bf16", "int8"],
+                        default="off",
+                        help="serving fast-ViT tier (int8 = int8-MXU matmuls)")
     parser.add_argument("--fire-every", type=int, default=0,
                         help="force a gate fire every N frames (random "
                              "weights rarely fire deterministically; this "
@@ -80,8 +83,10 @@ def main():
     # init directly in the target dtype: a full fp32 tree + cast would
     # transiently double the footprint and OOM the chip at full size
     params = init_streammind_params(jax.random.PRNGKey(0), cfg, dtype)
+    fast_vision = {"off": False, "bf16": True, "int8": "int8"}[args.fast_vision]
     engine = StreamMindEngine(params, cfg, eos_token_id=2,
-                              quantize_gate=args.full_size)
+                              quantize_gate=args.full_size,
+                              fast_vision=fast_vision)
     tok = DemoTokenizer()
     session = StreamSession(
         engine, tok, prompt_ids=[1, 10, 11, VIDEO_TOKEN_INDEX, 12],

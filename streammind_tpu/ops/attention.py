@@ -376,9 +376,14 @@ def flash_mha(q, k, v, kv_len=None, causal=True,
     q: (B, Sq, H, D); k/v: (B, Sk, Hkv, D); kv_len: optional (B,) valid kv
     length (right-padded batches).  Forward == flash_attention; backward is
     the FlashAttention-2 recomputation scheme as two Pallas kernels.
+
+    The primal (inference, no grads requested) uses the no-lse kernel — the
+    fp32 lane-replicated lse residual is only produced inside the VJP's
+    forward rule, so pure-inference callers don't pay its HBM writes.
     """
-    out, _ = _flash_fwd_with_lse(q, k, v, kv_len, causal, block_q, block_k)
-    return out
+    return flash_attention(
+        q, k, v, causal=causal, kv_len=kv_len, block_q=block_q, block_k=block_k
+    )
 
 
 def _flash_mha_fwd(q, k, v, kv_len, causal, block_q, block_k):

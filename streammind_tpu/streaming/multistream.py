@@ -215,13 +215,17 @@ class MultiStreamServer:
             if not changed:
                 break
 
-        # Any slot the shared bucket still can't fit (pathological tiny
-        # configs) degrades to its own sequential turn.
+        # Any slot the shared bucket still can't fit (KV budget, or a
+        # history re-carry that outgrew `shared` after the bounded fixpoint)
+        # degrades to its own sequential turn instead of crashing the tick.
         rows, odd = [], []
         for i in fired:
             slot = self.slots[i]
+            suffix = turn_suffix_ids(slot.tokenizer, slot.pending_ids)
+            n_spliced = len(suffix) - 1 + len(spans[i])
             budget = int(slot.cache.length[0]) + shared + slot.max_new_tokens
-            (rows if budget <= eng.kv_capacity else odd).append(i)
+            ok = budget <= eng.kv_capacity and n_spliced <= shared
+            (rows if ok else odd).append(i)
         texts: Dict[int, str] = {i: self._cognify_slot(i, spans[i]) for i in odd}
         if not rows:
             return texts
@@ -236,8 +240,8 @@ class MultiStreamServer:
             build_turn_plan(eng, self.slots[i].tokenizer, spans[i],
                             self.slots[i].pending_ids, pad_to=shared)
             for i in rows
-        ] + [None] * pad
-        plans[K:] = [plans[0]] * pad
+        ]
+        plans += [plans[0]] * pad  # inactive padding rows reuse row 0's plan
         mem_rows = jnp.asarray(np.asarray(rows + [rows[0]] * pad))
         memory = jnp.take(self.state.memory, mem_rows, axis=0)
         cache = stack_kv_caches(

@@ -10,5 +10,7 @@ from .trainer import (
     make_train_step,
     trainable_mask,
     tree_add,
+    tree_axpy,
+    tree_scale,
 )
 from .sampler import LengthGroupedSampler

@@ -46,7 +46,8 @@ from .trainer import (
     make_optimizer,
     make_train_step,
     trainable_mask,
-    tree_add,
+    tree_axpy,
+    tree_scale,
 )
 
 logger = build_logger("train", "train.log")
@@ -252,14 +253,21 @@ def make_microbatch(samples, cfg, vision_params, stage: str, pad_to: int = 0):
     fb = max(m[0] for m in metas) or None
     tb = max(m[1] for m in metas) or None
     rows, kind = [], "cls" if stage == "cls" else "media"
+    built = {}  # id(sample) → row: pad rows duplicate samples[0]; build
+    # (and ViT-encode) each distinct sample once, not once per copy
     for j, s in enumerate(samples):
-        if "modal" in s:
+        if id(s) in built:
+            row = dict(built[id(s)])
+        elif "modal" in s:
             row = make_sft_batch(s, cfg, vision_params, token_bucket=tb, frame_bucket=fb)
             kind = row.pop("kind")
+            built[id(s)] = row
         else:
             row = make_batch_from_sample(s, cfg, vision_params, stage,
                                          token_bucket=tb, frame_bucket=fb)
+            built[id(s)] = row
         if j >= n_real:  # neutralize pad rows
+            row = dict(row)
             if stage == "cls":
                 row["mask"] = jnp.zeros_like(row["mask"])
             else:
@@ -463,11 +471,22 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
             return {**p, "text": apply_lora(p["text"], p["lora"], lora_scaling)}
 
-        # "auto": Pallas flash fwd+bwd on TPU (9.6x over jnp+remat at 2048
-        # ctx); jnp reference on CPU where Pallas runs interpreted
+        # "auto": Pallas flash fwd+bwd on a SINGLE TPU chip (9.6x over
+        # jnp+remat at 2048 ctx); jnp reference on CPU (interpret-mode
+        # Pallas is slow) AND on multi-axis meshes — pallas_call has no
+        # GSPMD partitioning rule, so under dp/fsdp/tp sharding it would
+        # fail to lower or silently gather operands.  shard_map-wrapping
+        # the kernels is the multi-chip follow-up (ROADMAP).
         attn_impl = training_args.attn_impl
         if attn_impl == "auto":
-            attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
+            mesh_devices = (
+                training_args.dp * training_args.fsdp * training_args.tp
+            )
+            attn_impl = (
+                "flash"
+                if jax.default_backend() == "tpu" and mesh_devices <= 1
+                else "auto"
+            )
 
         if stage == "cls":
             def loss_fn(p, b):
@@ -494,7 +513,8 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         # × GRADIENT_ACCUMULATION_STEPS=2, finetune_stage1.sh:52)
         grad_fn = jax.jit(make_grad_step(loss_fn))
         grad_fn_text = jax.jit(make_grad_step(text_loss_fn))
-        acc_fn = jax.jit(tree_add, donate_argnums=(0,))
+        acc_fn = jax.jit(tree_axpy, donate_argnums=(0,))
+        scale_fn = jax.jit(tree_scale)
         apply_fn = jax.jit(make_accum_apply(optimizer), donate_argnums=(0,))
 
         # -- data order: shuffled, length/modality-grouped, dp×accum batches --
@@ -561,17 +581,26 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                 fn = step_fn_text if kind == "text" else step_fn
                 state, metrics = fn(state, put(batch))
             else:
-                grad_sum, loss_sum = None, None
+                # weight each chunk's grads by its REAL sample count so
+                # unequal-size modality chunks (megabatch seams, tails)
+                # weight every sample equally, not every chunk
+                grad_sum, loss_sum, w_total = None, None, 0.0
                 for kind, chunk in chunks:
                     kind, batch = make_microbatch(
                         chunk, cfg, state.params["vision"], stage, pad_to=micro_bs
                     )
                     g = grad_fn_text if kind == "text" else grad_fn
                     loss, grads = g(state.params, put(batch))
-                    grad_sum = grads if grad_sum is None else acc_fn(grad_sum, grads)
-                    loss_sum = loss if loss_sum is None else loss_sum + loss
+                    w = jnp.float32(len(chunk))
+                    w_total += len(chunk)
+                    if grad_sum is None:
+                        grad_sum = scale_fn(grads, w)
+                        loss_sum = loss * w
+                    else:
+                        grad_sum = acc_fn(grad_sum, grads, w)
+                        loss_sum = loss_sum + loss * w
                 state, metrics = apply_fn(
-                    state, grad_sum, loss_sum, jnp.float32(len(chunks))
+                    state, grad_sum, loss_sum, jnp.float32(w_total)
                 )
             metrics_log.update(loss=float(metrics["loss"]),
                                grad_norm=float(metrics["grad_norm"]))

@@ -166,20 +166,33 @@ def tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
-def make_accum_apply(optimizer) -> Callable:
-    """Returns jittable apply(state, grad_sum, loss_sum, n_micro) ->
-    (state, metrics): averages the accumulated grads over the microbatch
-    count and takes ONE optimizer step — so accumulation over k microbatches
-    matches a k-times-larger batch (equal per-microbatch weighting, the HF
-    Trainer convention the reference inherits)."""
+def tree_axpy(acc, g, w):
+    """acc + w·g — weighted grad accumulation (jit, donate acc)."""
+    return jax.tree.map(lambda a, b: a + w * b, acc, g)
 
-    def apply(state: TrainState, grad_sum, loss_sum, n_micro):
-        grads = jax.tree.map(lambda g: g / n_micro, grad_sum)
+
+def tree_scale(g, w):
+    """w·g — first weighted chunk of an accumulation."""
+    return jax.tree.map(lambda x: w * x, g)
+
+
+def make_accum_apply(optimizer) -> Callable:
+    """Returns jittable apply(state, grad_sum, loss_sum, total_weight) ->
+    (state, metrics): divides the (weighted) accumulated grads by the total
+    weight and takes ONE optimizer step.  With per-chunk weight = real
+    sample count, accumulation over unequal-size modality chunks weights
+    every sample equally, matching an unpadded k-times-larger batch (the HF
+    convention — equal chunk weighting — is unbiased only when all chunks
+    have the same size, which modality grouping does not guarantee)."""
+
+    def apply(state: TrainState, grad_sum, loss_sum, total_weight):
+        grads = jax.tree.map(lambda g: g / total_weight, grad_sum)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            {"loss": loss_sum / n_micro, "grad_norm": optax.global_norm(grads)},
+            {"loss": loss_sum / total_weight,
+             "grad_norm": optax.global_norm(grads)},
         )
 
     return apply

@@ -45,7 +45,11 @@ def quantize_linear_weight_int4(w: jax.Array, group: int = 64) -> dict:
     """
     w32 = w.astype(jnp.float32)
     din = w32.shape[-1]
-    if din % group != 0 or din % 2 != 0:
+    if din % 2 != 0:
+        # nibble packing needs an even input dim; keep such (rare) layers
+        # full precision rather than mispacking
+        return {"weight": w}
+    if din % group != 0:
         group = din  # fall back to per-channel
     wg = w32.reshape(*w32.shape[:-1], din // group, group)
     scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-1) / 7.0, 1e-8)  # (..., out, n_groups)
