@@ -23,6 +23,11 @@ class ModelArguments:
     train_skip_cls: bool = False                # copy first gate-depth decoder
                                                 # layers into the gate LM
     num_frames: int = 32
+    # reference --bits (train_new_stream.py:694-712, bnb 4/8-bit): rest the
+    # FROZEN decoder at int8/int4 during adapter/cls stages — this is what
+    # fits the full 7B adapter stage on ONE v5e chip (608 ms/step at 2048
+    # ctx, int8 base).  Stages that train the decoder (llm) reject bits<16.
+    bits: int = 16
 
 
 @dataclasses.dataclass

@@ -40,11 +40,16 @@ from .objectives import stage1_llm_loss, stage2_gate_loss
 from .trainer import (
     cosine_schedule,
     count_trainable,
+    init_split_train_state,
     init_train_state,
     make_accum_apply,
     make_grad_step,
     make_optimizer,
+    make_split_accum_apply,
+    make_split_grad_step,
+    make_split_train_step,
     make_train_step,
+    partition_params,
     trainable_mask,
     tree_axpy,
     tree_scale,
@@ -323,6 +328,24 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     if model_args.train_skip_cls:
         params = copy_decoder_layers_into_gate(params, cfg)
 
+    if model_args.bits in (4, 8):
+        # reference --bits bnb path (train_new_stream.py:694-712): the frozen
+        # decoder rests quantized during adapter/cls training — the full 7B
+        # adapter stage then fits one v5e chip (int8 base: 608 ms/step at
+        # 2048 ctx, remat + flash bwd)
+        if stage == "llm":
+            raise NotImplementedError(
+                "bits<16 requires a frozen decoder (adapter/cls stages); "
+                "QLoRA-style quantized-base LoRA for the llm stage needs "
+                "matmul-time adapter application and is not implemented"
+            )
+        from ..utils.quantize import quantize_text_params
+
+        params["text"] = quantize_text_params(
+            params["text"], bits=model_args.bits, free_source=True
+        )
+        logger.info(f"frozen decoder quantized to int{model_args.bits}")
+
     # -- data ----------------------------------------------------------------
     if dataset is None:
         if data_args.dataset == "matchtime":
@@ -406,8 +429,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     schedule = cosine_schedule(
         training_args.learning_rate, total_steps, training_args.warmup_ratio
     )
+    # frozen-subtree stages (adapter/cls: the 7B decoder never gets a grad)
+    # partition the params so jax.grad and the optimizer only ever see the
+    # trainable leaves — removes the decoder-sized gradient transient that
+    # otherwise OOMs single-chip 7B adapter training (trainer.py)
+    split_frozen = stage in ("adapter", "cls") and not training_args.lora_enable
+    opt_mask = partition_params(mask, mask)[0] if split_frozen else mask
     optimizer = make_optimizer(
-        schedule, mask,
+        schedule, opt_mask,
         projector_lr=training_args.mm_projector_lr,
         weight_decay=training_args.weight_decay,
         grad_clip=training_args.grad_clip,
@@ -416,7 +445,10 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     mesh = make_mesh(training_args.dp, training_args.fsdp, training_args.tp)
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh)
-        state = init_train_state(params, optimizer)
+        if split_frozen:
+            state = init_split_train_state(params, optimizer, mask)
+        else:
+            state = init_train_state(params, optimizer)
 
         # resume
         start_step = 0
@@ -507,15 +539,26 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                 attn_impl=attn_impl,
             )
 
-        step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
-        step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))
-        # gradient-accumulation programs (reference recipe: per-device batch 1
-        # × GRADIENT_ACCUMULATION_STEPS=2, finetune_stage1.sh:52)
-        grad_fn = jax.jit(make_grad_step(loss_fn))
-        grad_fn_text = jax.jit(make_grad_step(text_loss_fn))
+        if split_frozen:
+            step_fn = jax.jit(make_split_train_step(loss_fn, optimizer, mask),
+                              donate_argnums=(0,))
+            step_fn_text = jax.jit(
+                make_split_train_step(text_loss_fn, optimizer, mask),
+                donate_argnums=(0,))
+            grad_fn = jax.jit(make_split_grad_step(loss_fn, mask))
+            grad_fn_text = jax.jit(make_split_grad_step(text_loss_fn, mask))
+            apply_fn = jax.jit(make_split_accum_apply(optimizer, mask),
+                               donate_argnums=(0,))
+        else:
+            step_fn = jax.jit(make_train_step(loss_fn, optimizer), donate_argnums=(0,))
+            step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))
+            # gradient-accumulation programs (reference recipe: per-device
+            # batch 1 × GRADIENT_ACCUMULATION_STEPS=2, finetune_stage1.sh:52)
+            grad_fn = jax.jit(make_grad_step(loss_fn))
+            grad_fn_text = jax.jit(make_grad_step(text_loss_fn))
+            apply_fn = jax.jit(make_accum_apply(optimizer), donate_argnums=(0,))
         acc_fn = jax.jit(tree_axpy, donate_argnums=(0,))
         scale_fn = jax.jit(tree_scale)
-        apply_fn = jax.jit(make_accum_apply(optimizer), donate_argnums=(0,))
 
         # -- data order: shuffled, length/modality-grouped, dp×accum batches --
         from itertools import islice

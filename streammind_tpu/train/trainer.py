@@ -92,6 +92,8 @@ def make_optimizer(
     else:
         def label(tree):
             def build(t, prefix):
+                if t is None:  # partitioned trees: frozen leaves are None
+                    return None
                 if isinstance(t, dict):
                     return {k: build(v, prefix + k + ".") for k, v in t.items()}
                 if isinstance(t, list):
@@ -127,6 +129,102 @@ def init_train_state(params, optimizer) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-subtree split: in the adapter/cls stages the 7B decoder is frozen,
+# but value_and_grad over the FULL tree still materializes a decoder-sized
+# gradient (a ~14.5 GB transient at 7B — more than a v5e chip has left after
+# weights).  Partitioning the params so jax.grad only sees the trainable
+# leaves removes that allocation entirely; measured: the full adapter stage
+# (ViT features → Mamba projector → spliced 7B forward/backward, 2048 ctx,
+# remat + flash bwd, AdamW) fits and runs at 608 ms/step on ONE v5e chip
+# with an int8 frozen base.  jax pytrees drop None leaves, which is exactly
+# what makes the trainable tree grad-sized — but it also means jax.tree.map
+# can't build these trees; hand-rolled recursion below.
+# ---------------------------------------------------------------------------
+def partition_params(params, mask):
+    """Split params by the bool mask tree into (trainable, frozen), each with
+    None at the other side's positions (None leaves vanish from the pytree,
+    so grads/optimizer state exist only for the trainable side)."""
+    if isinstance(params, dict):
+        t, f = {}, {}
+        for k in params:
+            t[k], f[k] = partition_params(params[k], mask[k])
+        return t, f
+    if isinstance(params, list):
+        pairs = [partition_params(p, m) for p, m in zip(params, mask)]
+        return [a for a, _ in pairs], [b for _, b in pairs]
+    return (params, None) if mask else (None, params)
+
+
+def combine_params(t, f):
+    """Inverse of partition_params (runs under jit; plain recursion)."""
+    if isinstance(t, dict):
+        return {k: combine_params(t[k], f[k]) for k in t}
+    if isinstance(t, list):
+        return [combine_params(a, b) for a, b in zip(t, f)]
+    return t if t is not None else f
+
+
+def make_split_train_step(loss_fn: Callable, optimizer, mask) -> Callable:
+    """make_train_step for frozen-subtree stages: grads and optimizer state
+    cover ONLY mask=True leaves.  The optimizer must have been init'd on the
+    partitioned trainable tree (init_split_train_state)."""
+
+    def step(state: TrainState, batch) -> tuple:
+        t, f = partition_params(state.params, mask)
+        loss, grads = jax.value_and_grad(
+            lambda tt: loss_fn(combine_params(tt, f), batch)
+        )(t)
+        updates, opt_state = optimizer.update(grads, state.opt_state, t)
+        t = optax.apply_updates(t, updates)
+        return (
+            TrainState(step=state.step + 1, params=combine_params(t, f),
+                       opt_state=opt_state),
+            {"loss": loss, "grad_norm": optax.global_norm(grads)},
+        )
+
+    return step
+
+
+def make_split_grad_step(loss_fn: Callable, mask) -> Callable:
+    """Accumulation half: (params, batch) -> (loss, trainable-only grads)."""
+
+    def grad_step(params, batch):
+        t, f = partition_params(params, mask)
+        return jax.value_and_grad(
+            lambda tt: loss_fn(combine_params(tt, f), batch)
+        )(t)
+
+    return grad_step
+
+
+def make_split_accum_apply(optimizer, mask) -> Callable:
+    """make_accum_apply over the trainable subtree only."""
+
+    def apply(state: TrainState, grad_sum, loss_sum, total_weight):
+        t, f = partition_params(state.params, mask)
+        grads = jax.tree.map(lambda g: g / total_weight, grad_sum)
+        updates, opt_state = optimizer.update(grads, state.opt_state, t)
+        t = optax.apply_updates(t, updates)
+        return (
+            TrainState(step=state.step + 1, params=combine_params(t, f),
+                       opt_state=opt_state),
+            {"loss": loss_sum / total_weight,
+             "grad_norm": optax.global_norm(grads)},
+        )
+
+    return apply
+
+
+def init_split_train_state(params, optimizer, mask) -> TrainState:
+    t, _ = partition_params(params, mask)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(t),
     )
 
 

@@ -157,3 +157,52 @@ def test_sharded_train_step(setup, rng):
         state, metrics2 = step(state, metrics and batch)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics2["loss"]) < float(metrics["loss"])
+
+
+def test_split_step_equals_masked_step(setup, rng):
+    """Frozen-subtree split training (adapter stage: grads only over the
+    trainable projector leaves — the memory fix that fits single-chip 7B
+    adapter training) must produce EXACTLY the params of the legacy
+    full-tree masked step."""
+    from streammind_tpu.train import (
+        init_split_train_state,
+        make_split_train_step,
+        partition_params,
+    )
+    from streammind_tpu.train.trainer import combine_params
+
+    cfg, params = setup
+    batch = _stage1_batch(cfg, rng)
+
+    def loss_fn(p, b):
+        return stage1_llm_loss(
+            p, cfg, b["frames"], b["token_ids"], b["mem_index"],
+            b["use_mem"], b["attn_mask"], b["labels"],
+        )
+
+    mask = trainable_mask(params, "adapter")
+
+    # partition/combine roundtrip
+    t, f = partition_params(params, mask)
+    rt = combine_params(t, f)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # trainable tree has strictly fewer leaves (decoder dropped)
+    assert len(jax.tree.leaves(t)) < len(jax.tree.leaves(params))
+
+    # legacy: full-tree grads + masked optimizer
+    opt_full = make_optimizer(1e-3, mask)
+    s_full = init_train_state(params, opt_full)
+    s_full, m_full = jax.jit(make_train_step(loss_fn, opt_full))(s_full, batch)
+
+    # split: trainable-subtree grads + subtree optimizer
+    opt_mask = partition_params(mask, mask)[0]
+    opt_split = make_optimizer(1e-3, opt_mask)
+    s_split = init_split_train_state(params, opt_split, mask)
+    s_split, m_split = jax.jit(make_split_train_step(loss_fn, opt_split, mask))(
+        s_split, batch
+    )
+
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_split["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_split.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

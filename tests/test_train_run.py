@@ -273,3 +273,28 @@ def test_multiturn_span_clamp_keeps_slots(cfg):
     # all three slots survived: exactly 3 spans' worth of memory positions
     use = np.asarray(batch["use_mem"][0])
     assert use.sum() >= 3  # at least one memory position per turn
+
+
+@pytest.mark.slow
+def test_train_adapter_int8_frozen_base(tmp_path, cfg):
+    """--bits 8 adapter stage: the frozen decoder rests int8 (the reference's
+    bnb bits path, train_new_stream.py:694-712) and the split train step
+    (grads over the trainable projector subtree only) still converges."""
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma = ModelArguments(tune_mm_mlp_adapter=True, bits=8)
+    da = DataArguments(score_dataset_train_llm=True)
+    ta = TrainingArguments(
+        output_dir=str(tmp_path), learning_rate=1e-3, bf16=False,
+        save_steps=4, logging_steps=1, max_steps=4, resume=False,
+    )
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 4
+    # decoder stayed quantized AND unchanged; projector trained
+    assert "w_int8" in state.params["text"]["layers"]["q"]
+
+    # llm stage with bits<16 must refuse (no matmul-time LoRA yet)
+    ma2 = ModelArguments(bits=8)
+    da2 = DataArguments(score_dataset_train_llm=True)
+    with pytest.raises(NotImplementedError):
+        train(ma2, da2, ta, dataset=ds, cfg=cfg)
