@@ -508,6 +508,44 @@ def _flash_mha_bwd(causal, block_q, block_k, res, g):
 flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
+def _ambient_mesh():
+    """The abstract mesh set by jax.set_mesh (None outside one)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if mesh is None or getattr(mesh, "empty", True):
+        return None
+    return mesh
+
+
+def flash_mha_sharded(mesh, q, k, v, kv_len=None, causal=True,
+                      dp_axis: str = "dp", tp_axis: str = "tp"):
+    """flash_mha shard_mapped over a dp×tp mesh: batch rows ride the dp
+    axis, attention heads the tp axis (attention is independent per
+    (batch, head), so each shard runs the single-device Pallas kernels on
+    its local slice — no collectives inside; GSPMD reshards operands to the
+    in_specs).  This is what lets multi-chip training keep the flash
+    fwd+bwd kernels instead of falling back to jnp attention."""
+    from jax.sharding import PartitionSpec as P
+
+    qkv_spec = P(dp_axis, None, tp_axis, None)
+    if kv_len is None:
+        sm = jax.shard_map(
+            lambda q, k, v: flash_mha(q, k, v, None, causal),
+            mesh=mesh, in_specs=(qkv_spec, qkv_spec, qkv_spec),
+            out_specs=qkv_spec, check_vma=False,
+        )
+        return sm(q, k, v)
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (q.shape[0],))
+    sm = jax.shard_map(
+        lambda q, k, v, l: flash_mha(q, k, v, l, causal),
+        mesh=mesh, in_specs=(qkv_spec, qkv_spec, qkv_spec, P(dp_axis)),
+        out_specs=qkv_spec, check_vma=False,
+    )
+    return sm(q, k, v, kv_len)
+
+
 def decode_attention(
     q: jax.Array,        # (B, 1, H, D)
     k_cache: jax.Array,  # (B, Smax, Hkv, D)
@@ -541,7 +579,30 @@ def attention(
         if kv_len is None and kv_mask is not None:
             kv_len = jnp.sum(kv_mask, axis=-1).astype(jnp.int32)
         if isinstance(q_offset, int) and q_offset == 0:
-            # differentiable path (training): Pallas forward + backward
+            # differentiable path (training): Pallas forward + backward.
+            # Under an ambient dp/fsdp/tp mesh the kernels run shard_mapped
+            # (batch on dp, heads on tp); shapes the mesh can't divide fall
+            # back to the jnp reference rather than mis-sharding.
+            mesh = _ambient_mesh()
+            if mesh is not None:
+                shape = dict(mesh.shape)
+                dp, tp = shape.get("dp", 1), shape.get("tp", 1)
+                multi = dp * tp * shape.get("fsdp", 1) > 1
+                if multi:
+                    b, _, h, _ = q.shape
+                    hkv = k.shape[2]
+                    if b % dp == 0 and h % tp == 0 and hkv % tp == 0:
+                        return flash_mha_sharded(mesh, q, k, v, kv_len, causal)
+                    if kv_mask is None and kv_len is not None:
+                        kv_mask = (
+                            jnp.arange(k.shape[1])[None, :]
+                            < jnp.broadcast_to(
+                                jnp.asarray(kv_len, jnp.int32), (b,)
+                            )[:, None]
+                        )
+                    return mha_reference(
+                        q, k, v, causal=causal, kv_mask=kv_mask, q_offset=q_offset
+                    )
             return flash_mha(q, k, v, kv_len, causal)
         return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
     if impl == "bf16":

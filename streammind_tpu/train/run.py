@@ -503,22 +503,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
             return {**p, "text": apply_lora(p["text"], p["lora"], lora_scaling)}
 
-        # "auto": Pallas flash fwd+bwd on a SINGLE TPU chip (9.6x over
-        # jnp+remat at 2048 ctx); jnp reference on CPU (interpret-mode
-        # Pallas is slow) AND on multi-axis meshes — pallas_call has no
-        # GSPMD partitioning rule, so under dp/fsdp/tp sharding it would
-        # fail to lower or silently gather operands.  shard_map-wrapping
-        # the kernels is the multi-chip follow-up (ROADMAP).
+        # "auto": Pallas flash fwd+bwd on TPU (9.6x over jnp+remat at 2048
+        # ctx); on dp/fsdp/tp meshes the attention dispatcher shard_maps the
+        # kernels over the ambient mesh (batch on dp, heads on tp — see
+        # ops/attention.py::flash_mha_sharded).  jnp reference on CPU where
+        # Pallas runs interpreted.
         attn_impl = training_args.attn_impl
         if attn_impl == "auto":
-            mesh_devices = (
-                training_args.dp * training_args.fsdp * training_args.tp
-            )
-            attn_impl = (
-                "flash"
-                if jax.default_backend() == "tpu" and mesh_devices <= 1
-                else "auto"
-            )
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
 
         if stage == "cls":
             def loss_fn(p, b):

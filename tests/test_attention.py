@@ -150,3 +150,50 @@ def test_decode_attention_matches_prefix(rng):
         np.testing.assert_allclose(
             np.asarray(out[b]), np.asarray(ref[0]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_flash_sharded_on_mesh_matches_reference(rng):
+    """attention(impl='flash') under an ambient dp/fsdp/tp mesh shard_maps
+    the Pallas kernels (batch on dp, heads on tp) and must match the jnp
+    reference in both forward and gradients — the multi-chip training path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from streammind_tpu.parallel import make_mesh
+
+    B, S, H, HKV, D = 4, 32, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, HKV, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, HKV, D)), jnp.float32)
+    kv_len = jnp.asarray([20, 32, 25, 32], jnp.int32)
+    kv_mask = jnp.arange(S)[None, :] < kv_len[:, None]
+
+    ref = mha_reference(q, k, v, causal=True, kv_mask=kv_mask)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(mha_reference(q, k, v, causal=True, kv_mask=kv_mask))
+    )(q)
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    with jax.set_mesh(mesh):
+        sh = NamedSharding(mesh, P("dp", None, "tp", None))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        ls = jax.device_put(kv_len, NamedSharding(mesh, P("dp")))
+        out = jax.jit(
+            lambda q, k, v, l: attention(q, k, v, causal=True, kv_len=l, impl="flash")
+        )(qs, ks, vs, ls)
+        g = jax.jit(jax.grad(
+            lambda q: jnp.sum(attention(q, ks, vs, causal=True, kv_len=ls, impl="flash"))
+        ))(qs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+    # indivisible shapes degrade to the reference instead of mis-sharding
+    with jax.set_mesh(mesh):
+        out_odd = jax.jit(
+            lambda q, k, v: attention(q[:3], k[:3], v[:3], causal=True, impl="flash")
+        )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_odd),
+        np.asarray(mha_reference(q[:3], k[:3], v[:3], causal=True)),
+        rtol=1e-4, atol=1e-5,
+    )
