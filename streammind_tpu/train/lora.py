@@ -19,6 +19,17 @@ _TARGETS = ("q", "k", "v", "o")
 _MLP_TARGETS = ("gate", "up", "down")
 
 
+def _leaf_shape(leaf: Dict) -> Tuple[int, int, int]:
+    """(L, out, in) of a projection leaf — full-precision, int8, or packed
+    int4 base (QLoRA: LoRA factors over a quantized frozen weight)."""
+    if "weight" in leaf:
+        return leaf["weight"].shape
+    if "w_int8" in leaf:
+        return leaf["w_int8"].shape
+    L, out_f, half_in = leaf["w_int4"].shape
+    return (L, out_f, half_in * 2)
+
+
 def init_lora_params(key, text_params, r: int = 128, dtype=jnp.float32) -> Dict:
     """LoRA trees for stacked decoder layers.  A ~ N(0, 0.02), B = 0 (so the
     initial delta is zero, matching peft)."""
@@ -27,8 +38,7 @@ def init_lora_params(key, text_params, r: int = 128, dtype=jnp.float32) -> Dict:
     keys = jax.random.split(key, len(_TARGETS) + len(_MLP_TARGETS))
     ki = 0
     for name in _TARGETS:
-        w = layers[name]["weight"]  # (L, out, in)
-        L, out_f, in_f = w.shape
+        L, out_f, in_f = _leaf_shape(layers[name])
         lora["layers"][name] = {
             "A": jax.random.normal(keys[ki], (L, r, in_f), dtype) * 0.02,
             "B": jnp.zeros((L, out_f, r), dtype),
@@ -37,8 +47,7 @@ def init_lora_params(key, text_params, r: int = 128, dtype=jnp.float32) -> Dict:
     if "mlp" in layers:
         lora["layers"]["mlp"] = {}
         for name in _MLP_TARGETS:
-            w = layers["mlp"][name]["weight"]
-            L, out_f, in_f = w.shape
+            L, out_f, in_f = _leaf_shape(layers["mlp"][name])
             lora["layers"]["mlp"][name] = {
                 "A": jax.random.normal(keys[ki], (L, r, in_f), dtype) * 0.02,
                 "B": jnp.zeros((L, out_f, r), dtype),
@@ -66,6 +75,35 @@ def apply_lora(text_params, lora, scaling: float):
             delta = jnp.einsum("lor,lri->loi", ab["B"].astype(w.dtype),
                                ab["A"].astype(w.dtype))
             layers[name] = {**layers[name], "weight": w + scaling * delta}
+    out["layers"] = layers
+    return out
+
+
+def attach_lora(text_params, lora, scaling: float):
+    """Matmul-time LoRA: return a text tree whose projection leaves carry
+    the {A, B} factors next to the base weight; utils.params.linear adds
+    x@Aᵀ@Bᵀ·scaling at apply time.  Unlike apply_lora this never
+    materializes a merged weight tree — the base may rest quantized
+    (int8/int4), which is the QLoRA memory model (reference bits+lora,
+    train_new_stream.py:694-712 + :813-829).  The attached leaves reference
+    the SAME arrays as `lora`, so gradients flow to the lora tree."""
+
+    def attach(leaf, ab):
+        # (L,)-shaped scale: stacked decoder layers go through lax.scan,
+        # which slices every leaf along the leading layer axis
+        s = jnp.full((ab["A"].shape[0],), scaling, jnp.float32)
+        return {**leaf, "lora_a": ab["A"], "lora_b": ab["B"], "lora_scale": s}
+
+    out = dict(text_params)
+    layers = dict(text_params["layers"])
+    for name, ab in lora["layers"].items():
+        if name == "mlp":
+            mlp = dict(layers["mlp"])
+            for mname, mab in ab.items():
+                mlp[mname] = attach(mlp[mname], mab)
+            layers["mlp"] = mlp
+        else:
+            layers[name] = attach(layers[name], ab)
     out["layers"] = layers
     return out
 

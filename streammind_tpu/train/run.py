@@ -333,11 +333,11 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         # decoder rests quantized during adapter/cls training — the full 7B
         # adapter stage then fits one v5e chip (int8 base: 608 ms/step at
         # 2048 ctx, remat + flash bwd)
-        if stage == "llm":
+        if stage == "llm" and not training_args.lora_enable:
             raise NotImplementedError(
-                "bits<16 requires a frozen decoder (adapter/cls stages); "
-                "QLoRA-style quantized-base LoRA for the llm stage needs "
-                "matmul-time adapter application and is not implemented"
+                "bits<16 freezes the decoder: use the adapter/cls stages, "
+                "or enable LoRA (QLoRA — matmul-time adapters over the "
+                "quantized base)"
             )
         from ..utils.quantize import quantize_text_params
 
@@ -429,11 +429,14 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     schedule = cosine_schedule(
         training_args.learning_rate, total_steps, training_args.warmup_ratio
     )
-    # frozen-subtree stages (adapter/cls: the 7B decoder never gets a grad)
-    # partition the params so jax.grad and the optimizer only ever see the
-    # trainable leaves — removes the decoder-sized gradient transient that
-    # otherwise OOMs single-chip 7B adapter training (trainer.py)
-    split_frozen = stage in ("adapter", "cls") and not training_args.lora_enable
+    # frozen-subtree stages (adapter/cls/LoRA: the decoder base never gets a
+    # grad) partition the params so jax.grad and the optimizer only ever see
+    # the trainable leaves — removes the decoder-sized gradient transient
+    # that otherwise OOMs single-chip 7B adapter/LoRA training, and is
+    # REQUIRED for --bits (int8/int4 leaves are not differentiable)
+    split_frozen = stage in ("adapter", "cls") or (
+        training_args.lora_enable and stage == "llm"
+    )
     opt_mask = partition_params(mask, mask)[0] if split_frozen else mask
     optimizer = make_optimizer(
         schedule, opt_mask,
@@ -499,9 +502,11 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         def _effective(p):
             if lora_scaling is None:
                 return p
-            from .lora import apply_lora
+            # matmul-time attach (never materializes merged weights; works
+            # over a quantized base — QLoRA when --bits 4/8)
+            from .lora import attach_lora
 
-            return {**p, "text": apply_lora(p["text"], p["lora"], lora_scaling)}
+            return {**p, "text": attach_lora(p["text"], p["lora"], lora_scaling)}
 
         # "auto": Pallas flash fwd+bwd on TPU (9.6x over jnp+remat at 2048
         # ctx); on dp/fsdp/tp meshes the attention dispatcher shard_maps the

@@ -64,6 +64,13 @@ def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
         y = x @ dequantize_linear_weight_int4(p, x.dtype).T
     else:
         y = x @ p["weight"].T.astype(x.dtype)
+    if "lora_a" in p:
+        # matmul-time LoRA (train/lora.py::attach_lora): the low-rank delta
+        # is applied as x@Aᵀ@Bᵀ·s instead of merging W+sBA — no merged-weight
+        # materialization, so the base may rest quantized (QLoRA)
+        y = y + (
+            (x @ p["lora_a"].T.astype(x.dtype)) @ p["lora_b"].T.astype(x.dtype)
+        ) * p["lora_scale"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

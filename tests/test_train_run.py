@@ -298,3 +298,44 @@ def test_train_adapter_int8_frozen_base(tmp_path, cfg):
     da2 = DataArguments(score_dataset_train_llm=True)
     with pytest.raises(NotImplementedError):
         train(ma2, da2, ta, dataset=ds, cfg=cfg)
+
+
+def test_attach_lora_equals_apply_lora(cfg, rng):
+    """Matmul-time LoRA (attach) == merged-weight LoRA (apply) numerics."""
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.train.lora import apply_lora, attach_lora, init_lora_params
+
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    lora = init_lora_params(jax.random.PRNGKey(1), params["text"], r=4)
+    # non-zero B so the delta actually matters
+    lora = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora
+    )
+    ids = jnp.asarray([[5, 17, 99, 3, 64, 2, 11, 42]])
+    merged, _ = lm.text_forward(apply_lora(params["text"], lora, 2.0), cfg.text,
+                                input_ids=ids)
+    attached, _ = lm.text_forward(attach_lora(params["text"], lora, 2.0), cfg.text,
+                                  input_ids=ids)
+    np.testing.assert_allclose(np.asarray(attached), np.asarray(merged),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_train_qlora_int8_base(tmp_path, cfg):
+    """--bits 8 + lora_enable (QLoRA): the llm stage trains LoRA adapters
+    over an int8 frozen base via matmul-time attachment."""
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma = ModelArguments(bits=8)
+    da = DataArguments(score_dataset_train_llm=True)
+    ta = TrainingArguments(
+        output_dir=str(tmp_path), learning_rate=1e-3, bf16=False,
+        save_steps=4, logging_steps=1, max_steps=4, resume=False,
+        lora_enable=True, lora_r=4, lora_alpha=8,
+    )
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 4
+    assert "w_int8" in state.params["text"]["layers"]["q"]
+    # LoRA B started at 0 and must have moved
+    assert float(np.abs(np.asarray(
+        state.params["lora"]["layers"]["q"]["B"])).sum()) > 0
