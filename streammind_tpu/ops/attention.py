@@ -593,17 +593,20 @@ def attention(
                     hkv = k.shape[2]
                     if b % dp == 0 and h % tp == 0 and hkv % tp == 0:
                         return flash_mha_sharded(mesh, q, k, v, kv_len, causal)
-                    if kv_mask is None and kv_len is not None:
-                        kv_mask = (
-                            jnp.arange(k.shape[1])[None, :]
-                            < jnp.broadcast_to(
-                                jnp.asarray(kv_len, jnp.int32), (b,)
-                            )[:, None]
-                        )
-                    return mha_reference(
-                        q, k, v, causal=causal, kv_mask=kv_mask, q_offset=q_offset
+                    import warnings
+
+                    warnings.warn(
+                        f"impl='flash' fell back to the jnp reference: mesh "
+                        f"(dp={dp}, tp={tp}) does not divide attention shape "
+                        f"(B={b}, H={h}, Hkv={hkv}) — the O(S²) reference "
+                        f"path is much slower and heavier at long context",
+                        stacklevel=2,
                     )
-            return flash_mha(q, k, v, kv_len, causal)
+                    impl = "auto"  # shared reference branch below
+            if impl == "flash":
+                return flash_mha(q, k, v, kv_len, causal)
+        else:
+            return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
         return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
     if impl == "bf16":
         # serve-path fast mode: softmax in the input dtype (bf16) — ~20%

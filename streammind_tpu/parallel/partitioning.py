@@ -24,12 +24,34 @@ from ..utils.params import flatten_with_paths
 #   text.layers.q.weight   vision.layers.fc1.weight   projector.mamba.blocks.0.in_proj.weight
 RULES: List[Tuple[str, dict]] = [
     # --- decoder (stacked layers: leading L axis) ---
-    (r"text\.layers\.(q|k|v)\.weight", {3: P(None, "tp", "fsdp")}),
+    # w_int8 / w_int4 (quantized loading, --bits) shard exactly like the
+    # fp weight they replace (int4's packed in-axis halves but the spec is
+    # positional, so the same rule applies); per-channel `scale` (L, out)
+    # and group-wise `scale4` (L, out, groups) follow the out-dim shard
+    (r"text\.layers\.(q|k|v)\.(weight|w_int8|w_int4)", {3: P(None, "tp", "fsdp")}),
+    (r"text\.layers\.(q|k|v)\.scale4", {3: P(None, "tp", None)}),
+    (r"text\.layers\.(q|k|v)\.scale", {2: P(None, "tp")}),
     # Qwen2 q/k/v biases: (L, out) — out-dim follows the weight's tp shard
     (r"text\.layers\.(q|k|v)\.bias", {2: P(None, "tp")}),
-    (r"text\.layers\.o\.weight", {3: P(None, "fsdp", "tp")}),
-    (r"text\.layers\.mlp\.(gate|up)\.weight", {3: P(None, "tp", "fsdp")}),
-    (r"text\.layers\.mlp\.down\.weight", {3: P(None, "fsdp", "tp")}),
+    (r"text\.layers\.o\.(weight|w_int8|w_int4)", {3: P(None, "fsdp", "tp")}),
+    (r"text\.layers\.o\.scale4", {3: P(None, "fsdp", None)}),
+    (r"text\.layers\.o\.scale", {2: P(None, "fsdp")}),
+    (r"text\.layers\.mlp\.(gate|up)\.(weight|w_int8|w_int4)", {3: P(None, "tp", "fsdp")}),
+    (r"text\.layers\.mlp\.(gate|up)\.scale4", {3: P(None, "tp", None)}),
+    (r"text\.layers\.mlp\.(gate|up)\.scale", {2: P(None, "tp")}),
+    (r"text\.layers\.mlp\.down\.(weight|w_int8|w_int4)", {3: P(None, "fsdp", "tp")}),
+    (r"text\.layers\.mlp\.down\.scale4", {3: P(None, "fsdp", None)}),
+    (r"text\.layers\.mlp\.down\.scale", {2: P(None, "fsdp")}),
+    # LoRA factors: A (L, r, in) rides the in-dim shard, B (L, out, r) the
+    # out-dim shard (matmul-time application, train/lora.py::attach_lora)
+    (r"lora\.layers\.(q|k|v)\.A", {3: P(None, None, "fsdp")}),
+    (r"lora\.layers\.(q|k|v)\.B", {3: P(None, "tp", None)}),
+    (r"lora\.layers\.o\.A", {3: P(None, None, "tp")}),
+    (r"lora\.layers\.o\.B", {3: P(None, "fsdp", None)}),
+    (r"lora\.layers\.mlp\.(gate|up)\.A", {3: P(None, None, "fsdp")}),
+    (r"lora\.layers\.mlp\.(gate|up)\.B", {3: P(None, "tp", None)}),
+    (r"lora\.layers\.mlp\.down\.A", {3: P(None, None, "tp")}),
+    (r"lora\.layers\.mlp\.down\.B", {3: P(None, "fsdp", None)}),
     # MoE experts: (L, E, out, in) — expert axis on tp (expert parallel)
     (r"text\.layers\.experts\.(gate|up)", {4: P(None, "tp", None, "fsdp")}),
     (r"text\.layers\.experts\.down", {4: P(None, "tp", None, "fsdp")}),

@@ -52,11 +52,17 @@ def stage1_llm_loss(
     labels: jax.Array,           # (1, P)
     remat: bool = False,
     attn_impl: str = "auto",
+    with_tokens: bool = False,
 ) -> jax.Array:
     """Spliced multimodal LM loss.  Memory tokens come from the Mamba
     projector over the frame features; the vision tower is frozen upstream
     (features are inputs, matching the reference's offline feature shards,
-    videollama2_trainer_score.py:474-507)."""
+    videollama2_trainer_score.py:474-507).
+
+    with_tokens=True also returns the supervised-token count — the correct
+    accumulation weight: each chunk loss is a token mean, so weighting
+    chunks by token count reproduces the global token mean of an unpadded
+    combined batch exactly."""
     memory, _ = proj.mamba_project(params["projector"], cfg, frames_features)
     embeds = splice_embeds(
         params["text"], plan_token_ids, plan_mem_index, plan_use_mem, memory
@@ -65,7 +71,9 @@ def stage1_llm_loss(
         params["text"], cfg.text, inputs_embeds=embeds, attn_mask=plan_attn_mask,
         remat=remat, attn_impl=attn_impl,
     )
-    loss, _ = lm_cross_entropy(logits, labels)
+    loss, n = lm_cross_entropy(logits, labels)
+    if with_tokens:
+        return loss, n.astype(jnp.float32)
     return loss
 
 
@@ -77,6 +85,7 @@ def text_only_llm_loss(
     labels: jax.Array,      # (B, P)
     remat: bool = False,
     attn_impl: str = "auto",
+    with_tokens: bool = False,
 ) -> jax.Array:
     """Plain LM loss for text-only SFT records (no modal slot — the
     reference splices an empty feature span, videollama2_arch.py:655-663)."""
@@ -84,7 +93,9 @@ def text_only_llm_loss(
         params["text"], cfg.text, input_ids=token_ids, attn_mask=attn_mask,
         remat=remat, attn_impl=attn_impl,
     )
-    loss, _ = lm_cross_entropy(logits, labels)
+    loss, n = lm_cross_entropy(logits, labels)
+    if with_tokens:
+        return loss, n.astype(jnp.float32)
     return loss
 
 
@@ -94,6 +105,7 @@ def stage2_gate_loss(
     frames_features: jax.Array,  # (1, T, N, mm_hidden)
     gate_labels: jax.Array,      # (1, T) per-frame {0,1}
     label_mask: jax.Array,       # (1, T) bool — frames that carry a label
+    with_tokens: bool = False,
 ) -> jax.Array:
     """Gate training: project frames to memory tokens, build the
     (frame, label-embed) pair sequences, class-weighted CE on the 2-way head.
@@ -114,4 +126,12 @@ def stage2_gate_loss(
         label_mask.reshape(b * t, 1), pair_labels, IGNORE_INDEX
     )
     logits = proj.gate_logits(params["projector"], cfg, pairs)
-    return proj.gate_loss(logits, pair_labels, GATE_CLASS_WEIGHTS)
+    loss = proj.gate_loss(logits, pair_labels, GATE_CLASS_WEIGHTS)
+    if with_tokens:
+        # the gate loss is a class-weight-normalized mean: its accumulation
+        # weight is the class-weight sum (the loss denominator)
+        shift = pair_labels[:, 1:]
+        valid = shift != IGNORE_INDEX
+        w = jnp.asarray(GATE_CLASS_WEIGHTS, jnp.float32)[jnp.where(valid, shift, 0)]
+        return loss, jnp.sum(jnp.where(valid, w, 0.0))
+    return loss

@@ -328,6 +328,8 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     if model_args.train_skip_cls:
         params = copy_decoder_layers_into_gate(params, cfg)
 
+    if model_args.bits not in (4, 8, 16):
+        raise ValueError(f"--bits must be 4, 8 or 16, got {model_args.bits}")
     if model_args.bits in (4, 8):
         # reference --bits bnb path (train_new_stream.py:694-712): the frozen
         # decoder rests quantized during adapter/cls training — the full 7B
@@ -403,7 +405,7 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
     # -- LoRA (reference lora_enable path, train_new_stream.py:813-829) -----
     lora_scaling = None
     if training_args.lora_enable and stage == "llm":
-        from .lora import apply_lora, init_lora_params
+        from .lora import init_lora_params
 
         params["lora"] = init_lora_params(
             jax.random.PRNGKey(training_args.seed + 1), params["text"],
@@ -467,11 +469,19 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                         if k in loaded:
                             new_params[k] = shard_params({k: loaded[k]}, mesh)[k] \
                                 if k == "projector" else loaded[k]
+                    restored_opt = load_opt_state(latest, state.opt_state)
                     state = state._replace(
-                        params=new_params, step=jnp.int32(meta["step"])
+                        params=new_params,
+                        opt_state=(restored_opt if restored_opt is not None
+                                   else state.opt_state),
+                        step=jnp.int32(meta["step"]),
                     )
                     start_step = meta["step"]
-                    logger.info(f"resumed LoRA adapters from {latest}")
+                    logger.info(
+                        f"resumed LoRA adapters from {latest}"
+                        + ("" if restored_opt is not None
+                           else " (fresh optimizer state)")
+                    )
                 elif meta.get("adapter_only"):
                     # adapter checkpoints carry only the projector subtree;
                     # restore it (and the step) so stage-2/adapter runs resume
@@ -518,23 +528,32 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
 
         if stage == "cls":
-            def loss_fn(p, b):
-                return stage2_gate_loss(p, cfg, b["frames"], b["labels"], b["mask"])
+            def loss_fn(p, b, with_tokens=False):
+                return stage2_gate_loss(p, cfg, b["frames"], b["labels"],
+                                        b["mask"], with_tokens=with_tokens)
         else:
-            def loss_fn(p, b):
+            def loss_fn(p, b, with_tokens=False):
                 return stage1_llm_loss(
                     _effective(p), cfg, b["frames"], b["token_ids"], b["mem_index"],
                     b["use_mem"], b["attn_mask"], b["labels"],
                     remat=training_args.gradient_checkpointing,
-                    attn_impl=attn_impl,
+                    attn_impl=attn_impl, with_tokens=with_tokens,
                 )
 
-        def text_loss_fn(p, b):
+        def text_loss_fn(p, b, with_tokens=False):
             return text_only_llm_loss(
                 _effective(p), cfg, b["token_ids"], b["attn_mask"], b["labels"],
                 remat=training_args.gradient_checkpointing,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, with_tokens=with_tokens,
             )
+
+        # accumulation variants return (loss, supervised-token count): each
+        # chunk loss is a token mean, so token-count weighting reproduces the
+        # global token mean of an unpadded combined batch exactly
+        import functools as _ft
+
+        loss_fn_aux = _ft.partial(loss_fn, with_tokens=True)
+        text_loss_fn_aux = _ft.partial(text_loss_fn, with_tokens=True)
 
         if split_frozen:
             step_fn = jax.jit(make_split_train_step(loss_fn, optimizer, mask),
@@ -542,8 +561,9 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             step_fn_text = jax.jit(
                 make_split_train_step(text_loss_fn, optimizer, mask),
                 donate_argnums=(0,))
-            grad_fn = jax.jit(make_split_grad_step(loss_fn, mask))
-            grad_fn_text = jax.jit(make_split_grad_step(text_loss_fn, mask))
+            grad_fn = jax.jit(make_split_grad_step(loss_fn_aux, mask, has_aux=True))
+            grad_fn_text = jax.jit(
+                make_split_grad_step(text_loss_fn_aux, mask, has_aux=True))
             apply_fn = jax.jit(make_split_accum_apply(optimizer, mask),
                                donate_argnums=(0,))
         else:
@@ -551,8 +571,8 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             step_fn_text = jax.jit(make_train_step(text_loss_fn, optimizer), donate_argnums=(0,))
             # gradient-accumulation programs (reference recipe: per-device
             # batch 1 × GRADIENT_ACCUMULATION_STEPS=2, finetune_stage1.sh:52)
-            grad_fn = jax.jit(make_grad_step(loss_fn))
-            grad_fn_text = jax.jit(make_grad_step(text_loss_fn))
+            grad_fn = jax.jit(make_grad_step(loss_fn_aux, has_aux=True))
+            grad_fn_text = jax.jit(make_grad_step(text_loss_fn_aux, has_aux=True))
             apply_fn = jax.jit(make_accum_apply(optimizer), donate_argnums=(0,))
         acc_fn = jax.jit(tree_axpy, donate_argnums=(0,))
         scale_fn = jax.jit(tree_scale)
@@ -621,27 +641,26 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
                 fn = step_fn_text if kind == "text" else step_fn
                 state, metrics = fn(state, put(batch))
             else:
-                # weight each chunk's grads by its REAL sample count so
-                # unequal-size modality chunks (megabatch seams, tails)
-                # weight every sample equally, not every chunk
-                grad_sum, loss_sum, w_total = None, None, 0.0
+                # weight each chunk's grads by its supervised-TOKEN count
+                # (each chunk loss is a token mean, so token weighting makes
+                # accumulation over unequal modality chunks exactly equal to
+                # the global token mean of one unpadded combined batch)
+                grad_sum, loss_sum, w_total = None, None, None
                 for kind, chunk in chunks:
                     kind, batch = make_microbatch(
                         chunk, cfg, state.params["vision"], stage, pad_to=micro_bs
                     )
                     g = grad_fn_text if kind == "text" else grad_fn
-                    loss, grads = g(state.params, put(batch))
-                    w = jnp.float32(len(chunk))
-                    w_total += len(chunk)
+                    (loss, w), grads = g(state.params, put(batch))
                     if grad_sum is None:
                         grad_sum = scale_fn(grads, w)
                         loss_sum = loss * w
+                        w_total = w
                     else:
                         grad_sum = acc_fn(grad_sum, grads, w)
                         loss_sum = loss_sum + loss * w
-                state, metrics = apply_fn(
-                    state, grad_sum, loss_sum, jnp.float32(w_total)
-                )
+                        w_total = w_total + w
+                state, metrics = apply_fn(state, grad_sum, loss_sum, w_total)
             metrics_log.update(loss=float(metrics["loss"]),
                                grad_norm=float(metrics["grad_norm"]))
             if (step + 1) % training_args.logging_steps == 0:

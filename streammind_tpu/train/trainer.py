@@ -189,13 +189,14 @@ def make_split_train_step(loss_fn: Callable, optimizer, mask) -> Callable:
     return step
 
 
-def make_split_grad_step(loss_fn: Callable, mask) -> Callable:
-    """Accumulation half: (params, batch) -> (loss, trainable-only grads)."""
+def make_split_grad_step(loss_fn: Callable, mask, has_aux: bool = False) -> Callable:
+    """Accumulation half: (params, batch) -> ((loss[, aux]), trainable-only
+    grads)."""
 
     def grad_step(params, batch):
         t, f = partition_params(params, mask)
         return jax.value_and_grad(
-            lambda tt: loss_fn(combine_params(tt, f), batch)
+            lambda tt: loss_fn(combine_params(tt, f), batch), has_aux=has_aux
         )(t)
 
     return grad_step
@@ -246,14 +247,14 @@ def make_train_step(loss_fn: Callable, optimizer) -> Callable:
     return step
 
 
-def make_grad_step(loss_fn: Callable) -> Callable:
-    """loss_fn(params, batch) -> scalar.  Returns jittable
-    grad_step(params, batch) -> (loss, grads) for gradient accumulation
-    (reference trains with GRADIENT_ACCUMULATION_STEPS=2,
-    scripts/custom/finetune_stage1.sh:52)."""
+def make_grad_step(loss_fn: Callable, has_aux: bool = False) -> Callable:
+    """loss_fn(params, batch) -> scalar (or (scalar, aux) with has_aux).
+    Returns jittable grad_step(params, batch) -> ((loss[, aux]), grads) for
+    gradient accumulation (reference trains with
+    GRADIENT_ACCUMULATION_STEPS=2, scripts/custom/finetune_stage1.sh:52)."""
 
     def grad_step(params, batch):
-        return jax.value_and_grad(loss_fn)(params, batch)
+        return jax.value_and_grad(loss_fn, has_aux=has_aux)(params, batch)
 
     return grad_step
 
