@@ -50,6 +50,7 @@ class ModelWorker:
         fast_vision: bool = False,
         load_8bit: bool = False,
         load_4bit: bool = False,
+        multistream_capacity: int = 0,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -78,6 +79,18 @@ class ModelWorker:
             self.processor, self.version = None, "llama_2"
         self.model = model
         self.tokenizer = tokenizer
+
+        # multistream_capacity > 0: live sessions share one batched
+        # MultiStreamServer via the micro-batching broker (serve/broker.py)
+        # instead of one StreamSession each — concurrent HTTP streams land
+        # in the same perception/cognition batch
+        self.broker = None
+        if multistream_capacity > 0 and self.model is not None:
+            from .broker import BatchedSessionBroker
+
+            self.broker = BatchedSessionBroker(
+                self.model.engine, capacity=multistream_capacity
+            )
 
         if not no_register:
             self.register_to_controller()
@@ -251,6 +264,16 @@ class ModelWorker:
             prompt_ids = tokenizer_multimodal_token(
                 prompt, self.tokenizer, MMODAL_TOKEN_INDEX["VIDEO"]
             )
+        if self.broker is not None:
+            try:
+                self.broker.add(
+                    sid, self.tokenizer, prompt_ids=prompt_ids,
+                    max_new_tokens=int(params.get("max_new_tokens", 128)),
+                    gate_threshold=params.get("gate_threshold"),
+                )
+            except (RuntimeError, ValueError) as e:
+                return {"error": str(e), "error_code": 2}
+            return {"session_id": sid}
         from ..streaming.engine import StreamSession
 
         session = StreamSession(
@@ -280,6 +303,19 @@ class ModelWorker:
 
     def stream_session_frame(self, params: dict) -> dict:
         sid = params.get("session_id")
+        if self.broker is not None:
+            try:
+                pixels = self._decode_frame(params)
+                if pixels is None:
+                    return {"error": "no frame provided (frame_b64 or pixels)",
+                            "error_code": 1}
+                out = self.broker.submit(sid, pixels)
+                return {**out, "error_code": 0}
+            except KeyError:
+                return {"error": f"unknown session {sid}", "error_code": 4}
+            except Exception as e:  # noqa: BLE001
+                logger.exception("batched stream_session_frame error")
+                return {"error": f"{type(e).__name__}: {e}", "error_code": 1}
         with self._sessions_lock:
             entry = self._sessions.get(sid)
         if entry is None:
@@ -309,6 +345,12 @@ class ModelWorker:
 
     def stream_session_stop(self, params: dict) -> dict:
         sid = params.get("session_id")
+        if self.broker is not None:
+            try:
+                out = self.broker.remove(sid)
+            except KeyError:
+                return {"error": f"unknown session {sid}", "error_code": 4}
+            return {**out, "error_code": 0}
         with self._sessions_lock:
             entry = self._sessions.pop(sid, None)
         if entry is None:
@@ -401,6 +443,11 @@ def main():
                         help="decoder rests packed int4 (quarter memory; "
                              "dequant-on-read, slower than int8 — a "
                              "fit-bigger-models option, not a speed one)")
+    parser.add_argument("--multistream-capacity", type=int, default=0,
+                        help="> 0: live stream sessions share one batched "
+                             "MultiStreamServer of this capacity (concurrent "
+                             "HTTP streams land in the same perception/"
+                             "cognition batch; serve/broker.py)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -413,6 +460,7 @@ def main():
         fast_vision={None: False, "bf16": True, "int8": "int8"}[args.fast_vision],
         load_8bit=args.load_8bit,
         load_4bit=args.load_4bit,
+        multistream_capacity=args.multistream_capacity,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")
