@@ -41,7 +41,14 @@ _PAGE = """<!DOCTYPE html>
 <div id="log"></div>
 <textarea id="msg" placeholder="Ask about the video..."></textarea>
 <button onclick="send()">Send</button>
+<button onclick="vote('upvote')">&#128077;</button>
+<button onclick="vote('downvote')">&#128078;</button>
 <script>
+async function vote(kind) {
+  await fetch('/api/vote', {method:'POST', body: JSON.stringify({
+    type: kind, model: document.getElementById('model').value,
+    history: history})});
+}
 async function refresh() {
   const r = await fetch('/api/list_models', {method:'POST'});
   const d = await r.json();
@@ -136,6 +143,16 @@ def make_handler(controller_url=None, worker=None):
                     self._json({"models": [worker.model_name]})
                 else:
                     self._json(http_post_json(controller_url + "/list_models", {}))
+            elif self.path == "/api/vote":
+                # vote logging (reference gradio_web_server.py upvote/
+                # downvote handlers): JSONL next to the server logs
+                import os
+                import time as _time
+
+                os.makedirs("log_dir", exist_ok=True)
+                with open("log_dir/votes.jsonl", "a") as f:
+                    f.write(json.dumps({"tstamp": _time.time(), **data}) + "\n")
+                self._json({"ok": True})
             elif self.path == "/api/generate":
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")

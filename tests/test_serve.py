@@ -164,6 +164,17 @@ def test_adhoc_web_server(rng):
             if part:
                 chunks.append(json.loads(part.decode()))
     assert chunks and all(c["error_code"] == 0 for c in chunks)
+
+    # vote logging endpoint (reference gradio_web_server upvote/downvote)
+    import os
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/vote",
+        data=json.dumps({"type": "upvote", "model": "tiny"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert json.loads(resp.read())["ok"]
+    assert os.path.exists("log_dir/votes.jsonl")
     server.shutdown()
 
 
