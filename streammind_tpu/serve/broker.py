@@ -37,6 +37,10 @@ class BatchedSessionBroker:
         self._thread = threading.Thread(target=self._tick_loop, daemon=True)
         self._thread.start()
 
+    def _slot(self, stream_id: str):
+        return next((s for s in self.server.slots
+                     if s is not None and s.stream_id == stream_id), None)
+
     # -- lifecycle (serialized with ticks via the same condition lock) ------
     def add(self, stream_id: str, tokenizer, prompt_ids=None,
             max_new_tokens: int = 128, gate_threshold: Optional[float] = None):
@@ -48,8 +52,7 @@ class BatchedSessionBroker:
 
     def remove(self, stream_id: str) -> dict:
         with self._cv:
-            slot = next((s for s in self.server.slots
-                         if s is not None and s.stream_id == stream_id), None)
+            slot = self._slot(stream_id)
             if slot is None:
                 raise KeyError(stream_id)
             out = {"turns": list(slot.turns), "intervals": list(slot.interval_ids)}
@@ -74,8 +77,7 @@ class BatchedSessionBroker:
         Returns {"fire": bool, "text": str|None, "frame_idx": int}."""
         deadline = time.time() + timeout
         with self._cv:
-            if not any(s is not None and s.stream_id == stream_id
-                       for s in self.server.slots):
+            if self._slot(stream_id) is None:
                 raise KeyError(stream_id)
             while stream_id in self._pending:
                 # the caller's previous frame hasn't ticked yet (one frame
@@ -111,8 +113,7 @@ class BatchedSessionBroker:
                 self.ticks += 1
                 self.frames_seen += len(frames)
                 for sid in frames:
-                    slot = next((s for s in self.server.slots
-                                 if s is not None and s.stream_id == sid), None)
+                    slot = self._slot(sid)
                     text = out.get(sid)
                     self._results[sid] = {
                         "fire": text is not None,

@@ -357,15 +357,7 @@ class StreamMindEngine:
             active_arr,
         )
         rows = np.asarray(buf)
-        eos = self.eos_token_id
-        out = []
-        for r in range(K):
-            toks = []
-            for t in rows[r]:
-                if int(t) == eos:
-                    break
-                toks.append(int(t))
-            out.append(toks)
+        out = [tokens_until_eos(rows[r], self.eos_token_id) for r in range(K)]
         return out, int(steps), cache
 
     def _decode_step_impl(self, params, tok, cache, temperature, rng_key):
@@ -575,6 +567,17 @@ class StreamMindEngine:
             max_new_tokens, jnp.float32(temperature), rng_key,
         )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
+
+
+def tokens_until_eos(row, eos_id: int) -> list:
+    """Decode-buffer row → generated token list (rows are eos-filled past
+    the generated prefix)."""
+    toks = []
+    for t in row:
+        if int(t) == eos_id:
+            break
+        toks.append(int(t))
+    return toks
 
 
 def stack_kv_caches(caches) -> "lm.KVCache":

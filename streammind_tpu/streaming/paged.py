@@ -315,9 +315,6 @@ class PagedDialogues:
             jnp.int32(eng.eos_token_id), jnp.float32(temperature), rng_key,
         )
         self.lengths[did] = int(new_len[0])
-        toks = []
-        for t in np.asarray(buf[0]):
-            if int(t) == eng.eos_token_id:
-                break
-            toks.append(int(t))
-        return toks
+        from .engine import tokens_until_eos
+
+        return tokens_until_eos(np.asarray(buf[0]), eng.eos_token_id)

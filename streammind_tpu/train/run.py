@@ -550,10 +550,8 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         # accumulation variants return (loss, supervised-token count): each
         # chunk loss is a token mean, so token-count weighting reproduces the
         # global token mean of an unpadded combined batch exactly
-        import functools as _ft
-
-        loss_fn_aux = _ft.partial(loss_fn, with_tokens=True)
-        text_loss_fn_aux = _ft.partial(text_loss_fn, with_tokens=True)
+        loss_fn_aux = functools.partial(loss_fn, with_tokens=True)
+        text_loss_fn_aux = functools.partial(text_loss_fn, with_tokens=True)
 
         if split_frozen:
             step_fn = jax.jit(make_split_train_step(loss_fn, optimizer, mask),

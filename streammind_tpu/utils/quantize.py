@@ -143,22 +143,7 @@ def quantize_vit_params(vit_params: dict) -> dict:
 
 
 def quantize_gate_params(cls_net_params: dict) -> dict:
-    """Quantize every attention/MLP projection of the gate LM in place
-    (embeddings, norms and the 2-way lm_head stay full precision)."""
-    def quant(leaf: dict) -> dict:
-        q = quantize_linear_weight(leaf["weight"])
-        if "bias" in leaf:  # qkv-bias backbones (Qwen2): bias stays fp
-            q["bias"] = leaf["bias"]
-        return q
-
-    out = dict(cls_net_params)
-    layers = dict(out["layers"])
-    for name in ("q", "k", "v", "o"):
-        layers[name] = quant(layers[name])
-    if "mlp" in layers:
-        mlp = dict(layers["mlp"])
-        for name in ("gate", "up", "down"):
-            mlp[name] = quant(mlp[name])
-        layers["mlp"] = mlp
-    out["layers"] = layers
-    return out
+    """Quantize every attention/MLP projection of the gate LM
+    (embeddings, norms and the 2-way lm_head stay full precision).  The
+    gate is a small decoder, so this is exactly the int8 text transform."""
+    return quantize_text_params(cls_net_params, bits=8)
