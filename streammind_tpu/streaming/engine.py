@@ -803,6 +803,57 @@ class StreamSession:
         self.pending_ids: list = list(prompt_ids) if prompt_ids else []
         self.interval_ids: list = []
 
+    # -- session checkpoint/restore (serving failover) ----------------------
+    # A live session is long-lived state the reference loses on worker
+    # restart (its demo holds past_key_values in process memory).  Export
+    # captures everything a dialogue carries — Mamba state, memory ring,
+    # KV cache, pending ids, turn history — as host arrays; resume()
+    # reconstructs an identical session on any worker with the same weights.
+    def export_state(self) -> dict:
+        return {
+            "mamba_conv": np.asarray(self.state.mamba.conv),
+            "mamba_ssm": np.asarray(self.state.mamba.ssm),
+            "memory": np.asarray(self.state.memory),
+            "frame_idx": int(self.state.frame_idx),
+            "last_fire": int(self.state.last_fire),
+            "kv_k": np.asarray(self.cache.k),
+            "kv_v": np.asarray(self.cache.v),
+            "kv_length": np.asarray(self.cache.length),
+            "pending_ids": list(self.pending_ids),
+            "turns": list(self.turns),
+            "interval_ids": list(self.interval_ids),
+            "max_new_tokens": self.max_new_tokens,
+            "gate_threshold": self.gate_threshold,
+        }
+
+    @classmethod
+    def resume(cls, engine: "StreamMindEngine", tokenizer, blob: dict) -> "StreamSession":
+        from ..models.mamba import MambaState
+
+        s = cls(engine, tokenizer,
+                max_new_tokens=int(blob["max_new_tokens"]),
+                gate_threshold=blob["gate_threshold"])
+        kv_dtype = s.cache.k.dtype
+        mem_dtype = s.state.memory.dtype
+        s.state = StreamState(
+            mamba=MambaState(
+                conv=jnp.asarray(blob["mamba_conv"], s.state.mamba.conv.dtype),
+                ssm=jnp.asarray(blob["mamba_ssm"], s.state.mamba.ssm.dtype),
+            ),
+            memory=jnp.asarray(blob["memory"], mem_dtype),
+            frame_idx=jnp.int32(blob["frame_idx"]),
+            last_fire=jnp.int32(blob["last_fire"]),
+        )
+        s.cache = lm.KVCache(
+            k=jnp.asarray(blob["kv_k"], kv_dtype),
+            v=jnp.asarray(blob["kv_v"], kv_dtype),
+            length=jnp.asarray(blob["kv_length"], jnp.int32),
+        )
+        s.pending_ids = list(blob["pending_ids"])
+        s.turns = list(blob["turns"])
+        s.interval_ids = list(blob["interval_ids"])
+        return s
+
     def process_frame(self, pixels, force_fire: bool = False) -> Optional[str]:
         """One video frame → None (silence) or the generated utterance.
 

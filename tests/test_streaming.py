@@ -410,3 +410,35 @@ def test_session_cache_follows_param_dtype():
     out2 = session.process_frame(px, force_fire=True)
     assert isinstance(out2, str)
     assert len(session.turns) >= 1
+
+
+def test_session_export_resume_identical(setup, rng):
+    """Serving failover: a session exported mid-dialogue and resumed on a
+    fresh engine instance continues IDENTICALLY to the uninterrupted one
+    (Mamba state + memory ring + KV cache + pending ids all round-trip)."""
+    import pickle
+
+    cfg, params, engine = setup
+    tok = FakeTokenizer()
+    frame = lambda: jnp.asarray(rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32)
+
+    frames = [frame() for _ in range(6)]
+    a = StreamSession(engine, tok, prompt_ids=[1, 10, VIDEO_TOKEN_INDEX, 12],
+                      gate_threshold=-1.0, max_new_tokens=4)
+    for f in frames[:3]:
+        a.process_frame(f)
+
+    # export survives a (de)serialization round trip
+    blob = pickle.loads(pickle.dumps(a.export_state()))
+    b = StreamSession.resume(engine, tok, blob)
+    assert b.turns == a.turns and b.pending_ids == a.pending_ids
+    assert int(b.cache.length[0]) == int(a.cache.length[0])
+
+    outs_a = [a.process_frame(f) for f in frames[3:]]
+    outs_b = [b.process_frame(f) for f in frames[3:]]
+    assert outs_a == outs_b
+    assert a.turns == b.turns
+    np.testing.assert_array_equal(
+        np.asarray(a.state.memory), np.asarray(b.state.memory)
+    )
