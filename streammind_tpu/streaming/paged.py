@@ -279,26 +279,37 @@ class PagedDialogues:
         return buf, length, pool
 
     # -- per-turn API --------------------------------------------------------
-    def run_turn(self, did: str, plan: SplicePlan, memory,
-                 max_new_tokens: int = 128, temperature: float = 0.0,
-                 rng_key=None) -> List[int]:
-        """One cognition turn for dialogue `did` over the shared pool:
-        bucketed prefill of the spliced suffix + greedy/sampled decode.
-        Returns the generated token list."""
+    def run_turns(self, dids: List[str], plans: List[SplicePlan], memories,
+                  max_new_tokens: int = 128, temperature: float = 0.0,
+                  rng_key=None) -> List[List[int]]:
+        """One cognition turn for EACH dialogue, batched: one prefill and one
+        lockstep decode loop over the shared pool (paged_text_forward takes
+        batch-K tables/lengths, so this is the paged analogue of the dense
+        continuous-batched cognition — K simultaneous turns cost max(len_k)
+        decode steps with amortized weight reads AND the paged memory model).
+        All plans must share one bucket; memories: list of (1, M, D) rows.
+        Returns K generated token lists."""
         eng = self.engine
-        bucket = len(plan.token_ids)
-        self.ensure_capacity(did, bucket + max_new_tokens)
-        table = self._table_arr(did)
-        length = jnp.asarray([self.lengths[did]], jnp.int32)
+        buckets = {len(p.token_ids) for p in plans}
+        if len(buckets) != 1:
+            raise ValueError(f"plans must share one bucket, got {sorted(buckets)}")
+        bucket = buckets.pop()
+        for did in dids:
+            self.ensure_capacity(did, bucket + max_new_tokens)
+        table = jnp.concatenate([self._table_arr(d) for d in dids], axis=0)
+        length = jnp.asarray([self.lengths[d] for d in dids], jnp.int32)
 
         last, self.pool = self._prefill(
             eng.params, self.pool, table, length,
-            jnp.asarray(plan.token_ids)[None], jnp.asarray(plan.mem_index)[None],
-            jnp.asarray(plan.use_mem)[None], memory,
-            jnp.asarray([plan.length], jnp.int32),
+            jnp.asarray(np.stack([p.token_ids for p in plans])),
+            jnp.asarray(np.stack([p.mem_index for p in plans])),
+            jnp.asarray(np.stack([p.use_mem for p in plans])),
+            jnp.concatenate(list(memories), axis=0),
+            jnp.asarray([p.length for p in plans], jnp.int32),
         )
-        self.lengths[did] += plan.length
-        length = jnp.asarray([self.lengths[did]], jnp.int32)
+        for d, p in zip(dids, plans):
+            self.lengths[d] += p.length
+        length = jnp.asarray([self.lengths[d] for d in dids], jnp.int32)
 
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
@@ -314,7 +325,21 @@ class PagedDialogues:
             eng.params, self.pool, table, length, first, max_new_tokens,
             jnp.int32(eng.eos_token_id), jnp.float32(temperature), rng_key,
         )
-        self.lengths[did] = int(new_len[0])
         from .engine import tokens_until_eos
 
-        return tokens_until_eos(np.asarray(buf[0]), eng.eos_token_id)
+        rows = np.asarray(buf)
+        for i, d in enumerate(dids):
+            self.lengths[d] = int(new_len[i])
+        return [tokens_until_eos(rows[i], eng.eos_token_id)
+                for i in range(len(dids))]
+
+    def run_turn(self, did: str, plan: SplicePlan, memory,
+                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 rng_key=None) -> List[int]:
+        """One cognition turn for dialogue `did` over the shared pool:
+        bucketed prefill of the spliced suffix + greedy/sampled decode.
+        Returns the generated token list."""
+        return self.run_turns(
+            [did], [plan], [memory], max_new_tokens=max_new_tokens,
+            temperature=temperature, rng_key=rng_key,
+        )[0]

@@ -99,3 +99,41 @@ def test_paged_density_many_dialogues(setup, rng):
     assert pd.free_pages() > before
     toks = pd.run_turn("hog", plan, memory, max_new_tokens=4)
     assert toks == expect
+
+
+def test_paged_batched_turns_match_sequential(setup, rng):
+    """run_turns: K dialogues' turns batched over the shared pool produce
+    exactly the sequential run_turn results (paged continuous batching)."""
+    cfg, params, engine = setup
+    mem = lambda seed: jnp.asarray(
+        np.random.default_rng(seed).standard_normal(
+            (1, cfg.max_stream_frames, cfg.text.hidden_size)), jnp.float32)
+    plans = [_plan([1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4], [0, 1, 2]),
+             _plan([1, 8, VIDEO_TOKEN_INDEX, 6], [1, 2]),
+             _plan([1, VIDEO_TOKEN_INDEX, 13], [0])]
+    memories = [mem(i) for i in range(3)]
+
+    # sequential reference
+    pd_seq = PagedDialogues(engine, num_pages=48, page_size=8)
+    seq = []
+    for i, (plan, m) in enumerate(zip(plans, memories)):
+        pd_seq.open(f"d{i}")
+        seq.append(pd_seq.run_turn(f"d{i}", plan, m, max_new_tokens=5))
+
+    # batched: same three turns in one prefill + one decode loop
+    pd_bat = PagedDialogues(engine, num_pages=48, page_size=8)
+    for i in range(3):
+        pd_bat.open(f"d{i}")
+    bat = pd_bat.run_turns([f"d{i}" for i in range(3)], plans, memories,
+                           max_new_tokens=5)
+    assert bat == seq, (bat, seq)
+    for i in range(3):
+        assert pd_bat.lengths[f"d{i}"] == pd_seq.lengths[f"d{i}"]
+
+    # a second batched round continues each dialogue correctly
+    plans2 = [_plan([2, 20, VIDEO_TOKEN_INDEX, 21], [3, 4])] * 3
+    bat2 = pd_bat.run_turns([f"d{i}" for i in range(3)], plans2, memories,
+                            max_new_tokens=5)
+    seq2 = [pd_seq.run_turn(f"d{i}", plans2[i], memories[i], max_new_tokens=5)
+            for i in range(3)]
+    assert bat2 == seq2
