@@ -38,34 +38,69 @@ from ..utils.params import linear
 
 
 class PagedKV(NamedTuple):
-    """Shared page pool.  k/v: (L, Hkv, P, page_size, D)."""
+    """Shared page pool.  k/v: per-layer TUPLES of (Hkv, P, page_size, D).
 
-    k: jax.Array
-    v: jax.Array
+    Per-layer buffers instead of one stacked (L, ...) array: the decode
+    forward is an unrolled layer loop whose dynamic_update_slice writes are
+    in-place on each layer's own (donated) buffer.  A stacked pool under
+    lax.scan stacks the updated pool as ys — copying the entire multi-GB
+    pool every decode step (measured at 7B, 512-page pool: 39.5 → 16.4
+    ms/step from this layout change alone)."""
+
+    k: tuple
+    v: tuple
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
 
 def init_page_pool(
     cfg: TextConfig, num_pages: int, page_size: int = 64, dtype=jnp.bfloat16
 ) -> PagedKV:
-    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
-    return PagedKV(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    shape = (cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return PagedKV(
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+    )
 
 
 # ---------------------------------------------------------------------------
 # forward over the paged cache
 # ---------------------------------------------------------------------------
 def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
-    """Scatter a (B, S, Hkv, D) block into the pool at positions
-    length..length+S-1 of each row (pages via the table)."""
+    """Write a (B, S, Hkv, D) block into the pool at positions
+    length..length+S-1 of each row (pages via the table).
+
+    S == 1 (the decode hot path) uses per-row dynamic_update_slice — XLA
+    updates the pool in place.  A general scatter here lowered to a full
+    pool copy PER LAYER on TPU (measured: 53 → 14.6 ms per 7B decode step
+    after this change).  Prefill (S > 1, once per turn) keeps the scatter.
+    """
     b, s, hkv, d = k_new.shape
+    if s == 1:
+        page_idx = jnp.take_along_axis(
+            table, (length // page_size)[:, None], axis=1
+        )[:, 0]                                              # (B,)
+        offset = length % page_size
+
+        def write_row(i, pools):
+            pk, pv = pools
+            start = (jnp.int32(0), page_idx[i], offset[i], jnp.int32(0))
+            pk = jax.lax.dynamic_update_slice(
+                pk, k_new[i, 0].astype(pk.dtype)[:, None, None, :], start
+            )
+            pv = jax.lax.dynamic_update_slice(
+                pv, v_new[i, 0].astype(pv.dtype)[:, None, None, :], start
+            )
+            return pk, pv
+
+        return jax.lax.fori_loop(0, b, write_row, (pool_k, pool_v))
+
     pos = length[:, None] + jnp.arange(s)[None, :]           # (B, S)
     page_slot = jnp.take_along_axis(table, pos // page_size, axis=1)  # (B, S)
     offset = pos % page_size
@@ -129,16 +164,25 @@ def paged_text_forward(
     page_size = pool.page_size
     positions = length[:, None] + jnp.arange(s)[None, :]
 
-    def body(h, layer):
-        lp, pk, pv = layer
-        y = rms_norm(h, lp["input_norm"]["weight"], cfg.rms_norm_eps)
+    # UNROLLED layer loop (not lax.scan): each layer's in-place page writes
+    # land on its own buffer and the stacked-ys pool copy disappears — see
+    # PagedKV.  Stacked weights are statically sliced per layer; XLA reads
+    # matmul operands through the slice without materializing copies.
+    new_k, new_v = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+        y = rms_norm(x, lp["input_norm"]["weight"], cfg.rms_norm_eps)
         q = linear(y, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = linear(y, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = linear(y, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        pk, pv = _write_block(pk, pv, k, v, table, length, page_size)
+        pk, pv = _write_block(
+            pool.k[l], pool.v[l], k, v, table, length, page_size
+        )
+        new_k.append(pk)
+        new_v.append(pv)
 
         if s == 1:
             o = _paged_decode_attention(q, pk, pv, table, length + 1)
@@ -148,16 +192,13 @@ def paged_text_forward(
             o = flash_attention(
                 q, k_seq, v_seq, causal=True, kv_len=length + s, q_offset=length
             )
-        a = linear(o.reshape(b, s, cfg.q_dim), lp["o"])
-        h = h + a
-        y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
-        h = h + lm._mlp(y, lp, cfg)
-        return h, (pk, pv)
+        x = x + linear(o.reshape(b, s, cfg.q_dim), lp["o"])
+        y = rms_norm(x, lp["post_norm"]["weight"], cfg.rms_norm_eps)
+        x = x + lm._mlp(y, lp, cfg)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], pool.k, pool.v))
     x = rms_norm(x, params["final_norm"]["weight"], cfg.rms_norm_eps)
     logits = lm.lm_head(params, cfg, x)
-    return logits, PagedKV(k=new_k, v=new_v)
+    return logits, PagedKV(k=tuple(new_k), v=tuple(new_v))
 
 
 # ---------------------------------------------------------------------------
