@@ -28,10 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ..config import TextConfig
 from ..models import mistral as lm
 from ..models.meta import SplicePlan, splice_embeds
 from ..ops.attention import flash_attention, mha_reference
+from ..ops.pallas_utils import interpret_mode
 from ..ops.norms import rms_norm
 from ..ops.rotary import apply_rope, rope_cos_sin
 from ..utils.params import linear
@@ -72,6 +76,97 @@ def init_page_pool(
 # ---------------------------------------------------------------------------
 # forward over the paged cache
 # ---------------------------------------------------------------------------
+_WRITE_TILE = 8  # HBM sublane tiling: slices must be 8-row aligned
+
+
+def _token_write_kernel(pos_ref, knew_ref, vnew_ref, _pk_in, _pv_in,
+                        pk_ref, pv_ref, scr_k, scr_v, sem_k, sem_v):
+    """Grid (K,): write row i's (Hkv, D) k/v token into its pool slot as an
+    in-place aligned read-modify-write.
+
+    HBM arrays are (8, 128)-tiled, so a single token row can't be DMA'd
+    directly; instead the enclosing 8-row tile round-trips through VMEM
+    with the new token selected in.  Pages are per-dialogue disjoint and
+    the grid is sequential, so RMWs never race.  This replaces XLA
+    scatter/dus chains for the batched decode write: a scatter copied the
+    pool per layer, and K serialized dynamic_update_slices cost ~0.2 ms
+    each (26 ms/step at K=4, 7B); these tile DMAs cost microseconds.
+    """
+    i = pl.program_id(0)
+    page = pos_ref[i, 0]
+    off = pos_ref[i, 1]
+    off_al = (off // _WRITE_TILE) * _WRITE_TILE
+    row = off - off_al
+
+    rk = pltpu.make_async_copy(
+        pk_ref.at[:, page, pl.ds(off_al, _WRITE_TILE), :], scr_k, sem_k
+    )
+    rv = pltpu.make_async_copy(
+        pv_ref.at[:, page, pl.ds(off_al, _WRITE_TILE), :], scr_v, sem_v
+    )
+    rk.start()
+    rv.start()
+    rk.wait()
+    rv.wait()
+
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, scr_k.shape, 1) == row
+    )
+    scr_k[:, :, :] = jnp.where(sel, knew_ref[i][:, None, :], scr_k[:, :, :])
+    scr_v[:, :, :] = jnp.where(sel, vnew_ref[i][:, None, :], scr_v[:, :, :])
+
+    wk = pltpu.make_async_copy(
+        scr_k, pk_ref.at[:, page, pl.ds(off_al, _WRITE_TILE), :], sem_k
+    )
+    wv = pltpu.make_async_copy(
+        scr_v, pv_ref.at[:, page, pl.ds(off_al, _WRITE_TILE), :], sem_v
+    )
+    wk.start()
+    wv.start()
+    wk.wait()
+    wv.wait()
+
+
+def _write_tokens_dma(pool_k, pool_v, k_tok, v_tok, page_idx, offset):
+    """In-place batched single-token pool write via the DMA kernel.
+    k_tok/v_tok: (K, Hkv, D); page_idx/offset: (K,)."""
+    k = k_tok.shape[0]
+    pos = jnp.stack([page_idx, offset], axis=1).astype(jnp.int32)
+    return pl.pallas_call(
+        _token_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((pool_k.shape[0], _WRITE_TILE, pool_k.shape[3]),
+                           pool_k.dtype),
+                pltpu.VMEM((pool_v.shape[0], _WRITE_TILE, pool_v.shape[3]),
+                           pool_v.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},  # pool operands update in place
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret_mode(),
+    )(pos, k_tok.astype(pool_k.dtype), v_tok.astype(pool_v.dtype),
+      pool_k, pool_v)
+
+
 def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
     """Write a (B, S, Hkv, D) block into the pool at positions
     length..length+S-1 of each row (pages via the table).
@@ -87,19 +182,9 @@ def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
             table, (length // page_size)[:, None], axis=1
         )[:, 0]                                              # (B,)
         offset = length % page_size
-
-        def write_row(i, pools):
-            pk, pv = pools
-            start = (jnp.int32(0), page_idx[i], offset[i], jnp.int32(0))
-            pk = jax.lax.dynamic_update_slice(
-                pk, k_new[i, 0].astype(pk.dtype)[:, None, None, :], start
-            )
-            pv = jax.lax.dynamic_update_slice(
-                pv, v_new[i, 0].astype(pv.dtype)[:, None, None, :], start
-            )
-            return pk, pv
-
-        return jax.lax.fori_loop(0, b, write_row, (pool_k, pool_v))
+        return _write_tokens_dma(
+            pool_k, pool_v, k_new[:, 0], v_new[:, 0], page_idx, offset
+        )
 
     pos = length[:, None] + jnp.arange(s)[None, :]           # (B, S)
     page_slot = jnp.take_along_axis(table, pos // page_size, axis=1)  # (B, S)
