@@ -13,24 +13,35 @@ callers with their results.
 This is the serving-plane half of BASELINE config 5: the engine-side
 batching exists in MultiStreamServer; the broker is what lets independent
 HTTP clients actually land in the same batch.
+
+Threading contract: results are sequence-tagged so a caller that timed out
+(e.g. during first-tick compilation) never receives a stale result for a
+LATER frame; a tick that throws (malformed frame) fails only that tick's
+callers, not the thread; remove() wakes any in-flight caller with a closed
+sentinel; idle sessions past ``ttl_s`` are evicted when the pool is full
+(the legacy path's _sweep_sessions semantics).
 """
 from __future__ import annotations
 
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 from ..streaming.multistream import MultiStreamServer
 
 
 class BatchedSessionBroker:
-    def __init__(self, engine, capacity: int = 8, max_wait_ms: float = 15.0):
+    def __init__(self, engine, capacity: int = 8, max_wait_ms: float = 15.0,
+                 ttl_s: float = 1800.0):
         self.server = MultiStreamServer(engine, capacity=capacity)
         self.capacity = capacity
         self.max_wait = max_wait_ms / 1000.0
+        self.ttl_s = ttl_s
         self._cv = threading.Condition()
-        self._pending: Dict[str, object] = {}   # stream_id -> frame
-        self._results: Dict[str, dict] = {}     # stream_id -> result
+        self._pending: Dict[str, Tuple[int, object]] = {}  # sid -> (seq, frame)
+        self._results: Dict[str, Tuple[Optional[int], dict]] = {}
+        self._last_used: Dict[str, float] = {}
+        self._seq = 0
         self._stop = False
         self.ticks = 0          # observability: batched step invocations
         self.frames_seen = 0
@@ -45,21 +56,48 @@ class BatchedSessionBroker:
     def add(self, stream_id: str, tokenizer, prompt_ids=None,
             max_new_tokens: int = 128, gate_threshold: Optional[float] = None):
         with self._cv:
+            if len(self.server.active) >= self.capacity:
+                self._evict_locked()
             self.server.add_stream(
                 stream_id, tokenizer, prompt_ids=prompt_ids,
                 max_new_tokens=max_new_tokens, gate_threshold=gate_threshold,
             )
+            self._last_used[stream_id] = time.time()
+
+    def _evict_locked(self):
+        """Pool full: drop expired sessions, then the oldest idle one (the
+        legacy path's TTL + MAX_SESSIONS sweep)."""
+        now = time.time()
+        idle = [s.stream_id for s in self.server.slots
+                if s is not None and s.stream_id not in self._pending]
+        expired = [sid for sid in idle
+                   if now - self._last_used.get(sid, 0) > self.ttl_s]
+        victims = expired or sorted(
+            idle, key=lambda sid: self._last_used.get(sid, 0)
+        )[:1]
+        if not victims:
+            raise RuntimeError("no free stream slots (all sessions mid-frame)")
+        for sid in victims:
+            self._remove_locked(sid)
+
+    def _remove_locked(self, stream_id: str) -> dict:
+        slot = self._slot(stream_id)
+        if slot is None:
+            raise KeyError(stream_id)
+        out = {"turns": list(slot.turns), "intervals": list(slot.interval_ids)}
+        self.server.remove_stream(stream_id)
+        self._pending.pop(stream_id, None)
+        self._last_used.pop(stream_id, None)
+        # wake any in-flight submit with a closed sentinel (seq None
+        # matches any waiter) instead of leaving it to time out
+        self._results[stream_id] = (None, {"closed": True, "fire": False,
+                                           "text": None, "frame_idx": -1})
+        self._cv.notify_all()
+        return out
 
     def remove(self, stream_id: str) -> dict:
         with self._cv:
-            slot = self._slot(stream_id)
-            if slot is None:
-                raise KeyError(stream_id)
-            out = {"turns": list(slot.turns), "intervals": list(slot.interval_ids)}
-            self.server.remove_stream(stream_id)
-            self._pending.pop(stream_id, None)
-            self._results.pop(stream_id, None)
-            return out
+            return self._remove_locked(stream_id)
 
     def active(self) -> int:
         with self._cv:
@@ -74,23 +112,35 @@ class BatchedSessionBroker:
     # -- per-frame submission ------------------------------------------------
     def submit(self, stream_id: str, frame, timeout: float = 120.0) -> dict:
         """Enqueue this stream's newest frame; block until its tick lands.
-        Returns {"fire": bool, "text": str|None, "frame_idx": int}."""
+        Returns {"fire": bool, "text": str|None, "frame_idx": int} (plus
+        "closed": True if the session was removed mid-flight)."""
         deadline = time.time() + timeout
         with self._cv:
             if self._slot(stream_id) is None:
                 raise KeyError(stream_id)
             while stream_id in self._pending:
-                # the caller's previous frame hasn't ticked yet (one frame
-                # in flight per stream — matches the per-session lock of the
-                # legacy path)
+                # one frame in flight per stream (matches the per-session
+                # lock of the legacy path)
                 if not self._cv.wait(timeout=max(deadline - time.time(), 0.01)):
                     raise TimeoutError(f"stream {stream_id}: previous frame stuck")
-            self._pending[stream_id] = frame
+            self._seq += 1
+            my_seq = self._seq
+            self._pending[stream_id] = (my_seq, frame)
+            self._last_used[stream_id] = time.time()
             self._cv.notify_all()
-            while stream_id not in self._results:
+            while True:
+                entry = self._results.get(stream_id)
+                if entry is not None:
+                    seq, result = entry
+                    if seq is None or seq == my_seq:
+                        self._results.pop(stream_id)
+                        return result
+                    # stale result from a frame whose caller timed out —
+                    # discard so it is never attributed to THIS frame
+                    self._results.pop(stream_id)
+                    continue
                 if not self._cv.wait(timeout=max(deadline - time.time(), 0.01)):
                     raise TimeoutError(f"stream {stream_id}: tick timed out")
-            return self._results.pop(stream_id)
 
     # -- the tick loop ---------------------------------------------------------
     def _tick_loop(self):
@@ -106,18 +156,31 @@ class BatchedSessionBroker:
                 while (len(self._pending) < len(self.server.active)
                        and time.time() < deadline and not self._stop):
                     self._cv.wait(timeout=max(deadline - time.time(), 0.001))
-                frames = dict(self._pending)
+                staged = dict(self._pending)
                 self._pending.clear()
-                # step under the lock: add/remove also mutate server state
-                out = self.server.step(frames)
+                frames = {sid: f for sid, (_, f) in staged.items()}
+                try:
+                    out = self.server.step(frames)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — a bad frame must
+                    # fail its tick's callers, not kill the serving plane
+                    out = {}
+                    err = f"{type(e).__name__}: {e}"
                 self.ticks += 1
-                self.frames_seen += len(frames)
-                for sid in frames:
+                self.frames_seen += len(staged)
+                now = time.time()
+                for sid, (seq, _) in staged.items():
                     slot = self._slot(sid)
-                    text = out.get(sid)
-                    self._results[sid] = {
-                        "fire": text is not None,
-                        "text": text,
-                        "frame_idx": int(slot.frame_idx) if slot else -1,
-                    }
+                    if err is not None:
+                        result = {"error": err, "fire": False, "text": None,
+                                  "frame_idx": int(slot.frame_idx) if slot else -1}
+                    else:
+                        text = out.get(sid)
+                        result = {
+                            "fire": text is not None,
+                            "text": text,
+                            "frame_idx": int(slot.frame_idx) if slot else -1,
+                        }
+                    self._results[sid] = (seq, result)
+                    self._last_used[sid] = now
                 self._cv.notify_all()

@@ -310,6 +310,10 @@ class ModelWorker:
                     return {"error": "no frame provided (frame_b64 or pixels)",
                             "error_code": 1}
                 out = self.broker.submit(sid, pixels)
+                if out.pop("closed", False):
+                    return {"error": f"session {sid} closed", "error_code": 4}
+                if out.get("error"):
+                    return {"error": out.pop("error"), "error_code": 1, **out}
                 return {**out, "error_code": 0}
             except KeyError:
                 return {"error": f"unknown session {sid}", "error_code": 4}

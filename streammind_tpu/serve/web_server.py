@@ -145,10 +145,14 @@ def make_handler(controller_url=None, worker=None):
                     self._json(http_post_json(controller_url + "/list_models", {}))
             elif self.path == "/api/vote":
                 # vote logging (reference gradio_web_server.py upvote/
-                # downvote handlers): JSONL next to the server logs
+                # downvote handlers): JSONL next to the server logs.
+                # Bounded + dict-only: this is an unauthenticated endpoint.
                 import os
                 import time as _time
 
+                if not isinstance(data, dict) or length > 65536:
+                    self._json({"ok": False, "error": "bad vote payload"})
+                    return
                 os.makedirs("log_dir", exist_ok=True)
                 with open("log_dir/votes.jsonl", "a") as f:
                     f.write(json.dumps({"tstamp": _time.time(), **data}) + "\n")

@@ -66,6 +66,12 @@ class PagedKV(NamedTuple):
 def init_page_pool(
     cfg: TextConfig, num_pages: int, page_size: int = 64, dtype=jnp.bfloat16
 ) -> PagedKV:
+    if page_size % _WRITE_TILE != 0:
+        raise ValueError(
+            f"page_size must be a multiple of {_WRITE_TILE} (HBM sublane "
+            f"tiling — the decode write kernel RMWs {_WRITE_TILE}-row "
+            f"tiles), got {page_size}"
+        )
     shape = (cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
     return PagedKV(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
@@ -416,6 +422,12 @@ class PagedDialogues:
         All plans must share one bucket; memories: list of (1, M, D) rows.
         Returns K generated token lists."""
         eng = self.engine
+        memories = list(memories)
+        if not (len(dids) == len(plans) == len(memories)):
+            raise ValueError(
+                f"run_turns needs matching lists: {len(dids)} dialogues, "
+                f"{len(plans)} plans, {len(memories)} memories"
+            )
         buckets = {len(p.token_ids) for p in plans}
         if len(buckets) != 1:
             raise ValueError(f"plans must share one bucket, got {sorted(buckets)}")
