@@ -95,3 +95,26 @@ def test_worker_multistream_sessions(model, rng):
     stop = worker.stream_session_stop({"session_id": s2["session_id"]})
     assert stop["error_code"] == 0 and len(stop["turns"]) == 1
     worker.broker.shutdown()
+
+
+def test_broker_eviction_and_error_isolation(model, rng):
+    cfg, tok, m = model
+    size = cfg.vision.image_size
+    broker = BatchedSessionBroker(m.engine, capacity=2, max_wait_ms=5.0)
+    try:
+        broker.add("a", tok, gate_threshold=2.0)
+        broker.add("b", tok, gate_threshold=2.0)
+        # pool full; a is idle → adding c evicts the oldest idle session
+        broker.add("c", tok, gate_threshold=2.0)
+        assert broker.active() == 2
+        with pytest.raises(KeyError):
+            broker.submit("a", np.zeros((1, 3, size, size), np.float32))
+
+        # a malformed frame fails ITS caller but the tick thread survives
+        out = broker.submit("b", np.zeros((2, 2), np.float32))
+        assert "error" in out
+        ok = broker.submit(
+            "b", rng.standard_normal((1, 3, size, size)).astype(np.float32))
+        assert "error" not in ok and ok["frame_idx"] >= 1
+    finally:
+        broker.shutdown()
