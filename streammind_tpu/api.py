@@ -216,10 +216,17 @@ def infer(
         temperature = 0.2 if do_sample else 0.0
     cache = engine.new_kv_cache(dtype=mem_buf.dtype)
     last, cache = engine.prefill(plan, mem_buf, cache)
+    from .streaming.engine import stop_id_matrix
+
     tokens, _ = engine.generate_from_prefill(
         last, cache, max_new_tokens=max_new_tokens,
         temperature=temperature,
         rng_key=jax.random.PRNGKey(seed),
+        # in-decode stop at the template separator (the reference's
+        # KeywordsStoppingCriteria) — saves the wasted decode steps when
+        # the model emits the separator without EOS; text is still trimmed
+        # host-side below
+        stop_ids=stop_id_matrix(tokenizer, _stop_strings(version)),
     )
     if not hasattr(tokenizer, "decode"):
         return ""

@@ -32,12 +32,22 @@ from ..streaming.multistream import MultiStreamServer
 
 class BatchedSessionBroker:
     def __init__(self, engine, capacity: int = 8, max_wait_ms: float = 15.0,
-                 ttl_s: float = 1800.0):
-        self.server = MultiStreamServer(engine, capacity=capacity)
+                 ttl_s: float = 1800.0, kv_mode: str = "dense",
+                 num_pages=None, page_size: int = 64):
+        self.server = MultiStreamServer(
+            engine, capacity=capacity, kv_mode=kv_mode,
+            num_pages=num_pages, page_size=page_size,
+        )
         self.capacity = capacity
         self.max_wait = max_wait_ms / 1000.0
         self.ttl_s = ttl_s
         self._cv = threading.Condition()
+        # Serializes server.step() against lifecycle mutation (add/remove)
+        # WITHOUT holding the condition lock across the whole model step —
+        # submits/active/status calls only ever need _cv, so they stay
+        # responsive during a multi-second first-tick compilation.  Lock
+        # order: _step_lock before _cv, always.
+        self._step_lock = threading.Lock()
         self._pending: Dict[str, Tuple[int, object]] = {}  # sid -> (seq, frame)
         self._results: Dict[str, Tuple[Optional[int], dict]] = {}
         self._last_used: Dict[str, float] = {}
@@ -55,7 +65,7 @@ class BatchedSessionBroker:
     # -- lifecycle (serialized with ticks via the same condition lock) ------
     def add(self, stream_id: str, tokenizer, prompt_ids=None,
             max_new_tokens: int = 128, gate_threshold: Optional[float] = None):
-        with self._cv:
+        with self._step_lock, self._cv:
             if len(self.server.active) >= self.capacity:
                 self._evict_locked()
             self.server.add_stream(
@@ -89,14 +99,19 @@ class BatchedSessionBroker:
         self._pending.pop(stream_id, None)
         self._last_used.pop(stream_id, None)
         # wake any in-flight submit with a closed sentinel (seq None
-        # matches any waiter) instead of leaving it to time out
-        self._results[stream_id] = (None, {"closed": True, "fire": False,
-                                           "text": None, "frame_idx": -1})
+        # matches any waiter) instead of leaving it to time out — but only
+        # when no unclaimed result is already posted: a tick may have
+        # processed this session's frame (possibly a fired utterance) right
+        # before eviction, and overwriting that would silently lose it
+        self._results.setdefault(
+            stream_id, (None, {"closed": True, "fire": False,
+                               "text": None, "frame_idx": -1})
+        )
         self._cv.notify_all()
         return out
 
     def remove(self, stream_id: str) -> dict:
-        with self._cv:
+        with self._step_lock, self._cv:
             return self._remove_locked(stream_id)
 
     def active(self) -> int:
@@ -159,6 +174,10 @@ class BatchedSessionBroker:
                 staged = dict(self._pending)
                 self._pending.clear()
                 frames = {sid: f for sid, (_, f) in staged.items()}
+            # Model step runs OUTSIDE the condition lock (it can take seconds
+            # on first-tick compilation; submits must keep queueing meanwhile).
+            # _step_lock keeps add/remove from mutating slots mid-step.
+            with self._step_lock:
                 try:
                     out = self.server.step(frames)
                     err = None
@@ -166,20 +185,27 @@ class BatchedSessionBroker:
                     # fail its tick's callers, not kill the serving plane
                     out = {}
                     err = f"{type(e).__name__}: {e}"
+            with self._cv:
                 self.ticks += 1
                 self.frames_seen += len(staged)
                 now = time.time()
                 for sid, (seq, _) in staged.items():
                     slot = self._slot(sid)
-                    if err is not None:
+                    if slot is None:
+                        # evicted between staging and publish — its frame
+                        # never reached the model, so report closed, not a
+                        # normal-looking silence
+                        result = {"closed": True, "fire": False,
+                                  "text": None, "frame_idx": -1}
+                    elif err is not None:
                         result = {"error": err, "fire": False, "text": None,
-                                  "frame_idx": int(slot.frame_idx) if slot else -1}
+                                  "frame_idx": int(slot.frame_idx)}
                     else:
                         text = out.get(sid)
                         result = {
                             "fire": text is not None,
                             "text": text,
-                            "frame_idx": int(slot.frame_idx) if slot else -1,
+                            "frame_idx": int(slot.frame_idx),
                         }
                     self._results[sid] = (seq, result)
                     self._last_used[sid] = now

@@ -51,6 +51,9 @@ class ModelWorker:
         load_8bit: bool = False,
         load_4bit: bool = False,
         multistream_capacity: int = 0,
+        kv_mode: str = "paged",
+        num_pages: Optional[int] = None,
+        page_size: int = 64,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -83,13 +86,17 @@ class ModelWorker:
         # multistream_capacity > 0: live sessions share one batched
         # MultiStreamServer via the micro-batching broker (serve/broker.py)
         # instead of one StreamSession each — concurrent HTTP streams land
-        # in the same perception/cognition batch
+        # in the same perception/cognition batch.  kv_mode defaults to
+        # "paged": dialogues share ONE page pool (streaming/paged.py)
+        # instead of a ~1 GB dense KV ring each, so density scales with the
+        # sum of live lengths (BASELINE config 5); --kv-mode dense opts out.
         self.broker = None
         if multistream_capacity > 0 and self.model is not None:
             from .broker import BatchedSessionBroker
 
             self.broker = BatchedSessionBroker(
-                self.model.engine, capacity=multistream_capacity
+                self.model.engine, capacity=multistream_capacity,
+                kv_mode=kv_mode, num_pages=num_pages, page_size=page_size,
             )
 
         if not no_register:
@@ -452,6 +459,16 @@ def main():
                              "MultiStreamServer of this capacity (concurrent "
                              "HTTP streams land in the same perception/"
                              "cognition batch; serve/broker.py)")
+    parser.add_argument("--kv-mode", choices=["paged", "dense"], default="paged",
+                        help="multistream KV memory model: paged (default) = "
+                             "all dialogues share one page pool, resident KV "
+                             "tracks the sum of live lengths; dense = one "
+                             "~kv_capacity ring per dialogue")
+    parser.add_argument("--num-pages", type=int, default=None,
+                        help="paged pool size in pages (default: half the "
+                             "dense-equivalent page count for the capacity)")
+    parser.add_argument("--page-size", type=int, default=64,
+                        help="tokens per KV page (multiple of 8)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -465,6 +482,9 @@ def main():
         load_8bit=args.load_8bit,
         load_4bit=args.load_4bit,
         multistream_capacity=args.multistream_capacity,
+        kv_mode=args.kv_mode,
+        num_pages=args.num_pages,
+        page_size=args.page_size,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

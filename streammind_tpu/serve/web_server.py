@@ -137,6 +137,16 @@ def make_handler(controller_url=None, worker=None):
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
+            if self.path == "/api/vote" and length > 65536:
+                # unauthenticated endpoint: refuse before buffering the body
+                body = json.dumps({"ok": False, "error": "payload too large"}).encode()
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             data = json.loads(self.rfile.read(length) or b"{}")
             if self.path == "/api/list_models":
                 if worker is not None:
@@ -150,7 +160,7 @@ def make_handler(controller_url=None, worker=None):
                 import os
                 import time as _time
 
-                if not isinstance(data, dict) or length > 65536:
+                if not isinstance(data, dict):
                     self._json({"ok": False, "error": "bad vote payload"})
                     return
                 os.makedirs("log_dir", exist_ok=True)

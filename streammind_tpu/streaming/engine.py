@@ -229,21 +229,31 @@ class StreamMindEngine:
         return last, cache
 
     def _decode_impl(self, params, first_token, cache, eos_id, max_new: int,
-                     temperature, rng_key):
+                     temperature, rng_key, stop_ids):
         """Decode loop with early EOS exit, fixed token buffer.
 
         temperature <= 0 → greedy; else temperature sampling (the reference
         uses do_sample with temperature 0.2, streammind/__init__.py:84-85).
+
+        stop_ids: (S, L) int32, each row a stop token sequence left-padded
+        with -1 — the in-loop KeywordsStoppingCriteria (reference
+        mm_utils.py:616): decoding halts within one step of emitting a stop
+        sequence instead of rambling to EOS/max (host-side text trimming
+        stays as the correctness net for tokenization-boundary mismatches).
+        Pass shape (0, 1) for no stops.
         """
         p, cfg = params, self.cfg
+        L = stop_ids.shape[1]
+
+        def stop_hit(tail):
+            return jnp.any(jnp.all((stop_ids == tail[None, :]) | (stop_ids < 0), axis=1))
 
         def cond(carry):
-            i, tok, cache, buf, done, key = carry
+            i, tok, cache, buf, done, key, tail = carry
             return jnp.logical_and(i < max_new, jnp.logical_not(done))
 
         def body(carry):
-            i, tok, cache, buf, done, key = carry
-            buf = buf.at[i].set(tok)
+            i, tok, cache, buf, done, key, tail = carry
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=tok[None, None], cache=cache
             )
@@ -253,18 +263,31 @@ class StreamMindEngine:
                 jax.random.categorical(sub, logits[0, -1] / jnp.maximum(temperature, 1e-6)),
                 jnp.argmax(logits[0, -1]),
             ).astype(jnp.int32)
-            done = nxt == eos_id
-            return (i + 1, nxt, cache, buf, done, key)
+            # the sampled token is written IMMEDIATELY (at i+1; slot 0 holds
+            # first_token) so a stop-terminating token is present in the
+            # buffer for host-side trimming; it is fed to the cache only if
+            # the loop survives to the next iteration (EOS was never fed
+            # either — returned counts exclude terminal junk via `n` below)
+            idx = jnp.minimum(i + 1, max_new - 1)
+            buf = buf.at[idx].set(jnp.where(i + 1 < max_new, nxt, buf[idx]))
+            tail = jnp.concatenate([tail[1:], nxt[None]])
+            done = jnp.logical_or(nxt == eos_id, stop_hit(tail))
+            return (i + 1, nxt, cache, buf, done, key, tail)
 
-        buf = jnp.zeros((max_new,), jnp.int32)
-        i, _, cache, buf, _, _ = jax.lax.while_loop(
+        buf = jnp.full((max_new,), eos_id, jnp.int32).at[0].set(first_token)
+        tail0 = jnp.full((L,), -2, jnp.int32).at[L - 1].set(first_token)
+        i, tok_last, cache, buf, done, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), first_token, cache, buf, jnp.bool_(False), rng_key),
+            (jnp.int32(0), first_token, cache, buf, stop_hit(tail0), rng_key,
+             tail0),
         )
-        return buf, i, cache
+        # valid-token count: iterations fed = i; a stop-hit's final token is
+        # buffered but unfed → one extra valid token (EOS stays excluded)
+        n = i + jnp.logical_and(done, tok_last != eos_id).astype(jnp.int32)
+        return buf, jnp.minimum(n, max_new), cache
 
     def _decode_batch_impl(self, params, first_tokens, cache, eos_id, max_new: int,
-                           limits, temperature, rng_key, active):
+                           limits, temperature, rng_key, active, stop_ids):
         """Lockstep batched decode over K rows with per-row EOS.
 
         Each device step decodes one token for EVERY still-live row — the
@@ -276,17 +299,26 @@ class StreamMindEngine:
         max new tokens; active: (K,) bool — False rows are padding (bucketed
         K) and never advance their cache.  Rows that finish early stop
         advancing their cache (cache_advance 0) and emit eos into the buffer.
+        stop_ids: (S, L) stop sequences left-padded with -1 (the in-loop
+        KeywordsStoppingCriteria, per row); (0, 1) for none.
         """
         p, cfg = params, self.cfg
         K = first_tokens.shape[0]
+        L = stop_ids.shape[1]
+
+        def stop_hit(tail):  # tail (K, L) → (K,)
+            return jnp.any(
+                jnp.all((stop_ids[None] == tail[:, None, :]) | (stop_ids[None] < 0),
+                        axis=2),
+                axis=1,
+            )
 
         def cond(carry):
-            i, toks, cache, buf, done, key = carry
+            i, toks, cache, buf, done, key, tail = carry
             return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(done)))
 
         def body(carry):
-            i, toks, cache, buf, done, key = carry
-            buf = buf.at[:, i].set(jnp.where(done, eos_id, toks))
+            i, toks, cache, buf, done, key, tail = carry
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=toks[:, None], cache=cache,
                 cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
@@ -298,17 +330,32 @@ class StreamMindEngine:
                 jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
                 jnp.argmax(last, axis=-1),
             ).astype(jnp.int32)
-            nxt = jnp.where(done, eos_id, nxt)
+            limit_hit = i + 1 >= limits
+            nxt = jnp.where(jnp.logical_or(done, limit_hit), eos_id, nxt)
+            tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
+            # sampled tokens land in the buffer immediately (col 0 holds the
+            # first tokens) so stop-terminating tokens are visible to
+            # host-side trimming; eos writes just repeat the fill value
+            idx = jnp.minimum(i + 1, max_new - 1)
+            col = jnp.where(i + 1 < max_new, nxt, buf[:, idx])
+            buf = buf.at[:, idx].set(col)
             done = jnp.logical_or(done, nxt == eos_id)
-            done = jnp.logical_or(done, i + 1 >= limits)
-            return (i + 1, nxt, cache, buf, done, key)
+            done = jnp.logical_or(done, stop_hit(tail))
+            done = jnp.logical_or(done, limit_hit)
+            return (i + 1, nxt, cache, buf, done, key, tail)
 
-        buf = jnp.full((K, max_new), eos_id, jnp.int32)
         done0 = jnp.logical_or(jnp.logical_not(active), first_tokens == eos_id)
         done0 = jnp.logical_or(done0, limits <= 0)
-        steps, _, cache, buf, _, _ = jax.lax.while_loop(
+        buf = jnp.full((K, max_new), eos_id, jnp.int32).at[:, 0].set(
+            jnp.where(done0, eos_id, first_tokens)
+        )
+        tail0 = jnp.full((K, L), -2, jnp.int32).at[:, L - 1].set(
+            jnp.where(done0, -2, first_tokens)
+        )
+        done0 = jnp.logical_or(done0, stop_hit(tail0))
+        steps, _, cache, buf, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), first_tokens, cache, buf, done0, rng_key),
+            (jnp.int32(0), first_tokens, cache, buf, done0, rng_key, tail0),
         )
         return buf, steps, cache
 
@@ -320,6 +367,7 @@ class StreamMindEngine:
         active=None,          # (K,) bool — padding-row mask
         temperature: float = 0.0,
         rng_key=None,
+        stop_ids=None,        # (S, L) stop-sequence matrix (stop_id_matrix)
     ):
         """Batched continuation after prefill_batch.
 
@@ -332,6 +380,9 @@ class StreamMindEngine:
             self._decode_batch = jax.jit(
                 self._decode_batch_impl, static_argnums=(4,), donate_argnums=(2,)
             )
+        stop = jnp.asarray(
+            _EMPTY_STOP_IDS if stop_ids is None else stop_ids, jnp.int32
+        )
         K = last_logits.shape[0]
         if isinstance(max_new_tokens, int):
             limits = [max_new_tokens] * K
@@ -354,7 +405,7 @@ class StreamMindEngine:
         buf, steps, cache = self._decode_batch(
             self.params, first, cache, jnp.int32(self.eos_token_id), max_new,
             jnp.asarray(limits, jnp.int32), jnp.float32(temperature), rng_key,
-            active_arr,
+            active_arr, stop,
         )
         rows = np.asarray(buf)
         out = [tokens_until_eos(rows[r], self.eos_token_id) for r in range(K)]
@@ -548,9 +599,12 @@ class StreamMindEngine:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         rng_key=None,
+        stop_ids=None,
     ):
         """Continuation after a prefill (greedy, or sampled when
-        temperature > 0).  Returns (token_list, cache)."""
+        temperature > 0).  stop_ids: optional (S, L) stop-sequence matrix
+        (stop_id_matrix) — decoding halts inside the jitted loop within one
+        step of emitting a stop sequence.  Returns (token_list, cache)."""
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         if temperature > 0:
@@ -562,9 +616,12 @@ class StreamMindEngine:
             first = jnp.argmax(last_logits[0]).astype(jnp.int32)
         if bool(first == self.eos_token_id):
             return [], cache
+        stop = jnp.asarray(
+            _EMPTY_STOP_IDS if stop_ids is None else stop_ids, jnp.int32
+        )
         buf, n, cache = self._decode(
             self.params, first, cache, jnp.int32(self.eos_token_id),
-            max_new_tokens, jnp.float32(temperature), rng_key,
+            max_new_tokens, jnp.float32(temperature), rng_key, stop,
         )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
 
@@ -602,6 +659,48 @@ def split_kv_cache(cache: "lm.KVCache", rows: int):
     ]
 
 
+_EMPTY_STOP_IDS = np.zeros((0, 1), np.int32)
+
+
+def stop_id_matrix(tokenizer, stop_strings) -> Optional[np.ndarray]:
+    """Encode stop strings into the (S, L) left-padded (-1) matrix the
+    jitted decode loops match against — the in-loop analogue of the
+    reference's KeywordsStoppingCriteria (mm_utils.py:616), which halted HF
+    generate at the conversation separator instead of decoding to EOS/max.
+
+    Each string is encoded both bare and with a leading space (SP
+    tokenizers piece text differently after whitespace); host-side text
+    trimming (mm_utils.trim_at_stop_strings) stays as the correctness net
+    for tokenization-boundary cases the id match can miss."""
+    seqs: list = []
+    for s in stop_strings or []:
+        for variant in (s, " " + s):
+            ids = _encode_no_bos(tokenizer, variant)
+            if ids and ids not in seqs:
+                seqs.append(ids)
+    if not seqs:
+        return None
+    width = max(len(x) for x in seqs)
+    mat = np.full((len(seqs), width), -1, np.int32)
+    for r, x in enumerate(seqs):
+        mat[r, width - len(x):] = x
+    return mat
+
+
+def merge_stop_ids(mats):
+    """Union of per-row stop matrices (batched decode shares ONE matcher);
+    pads to a common width, dedupes rows.  Returns None if all inputs are."""
+    mats = [m for m in mats if m is not None]
+    if not mats:
+        return None
+    width = max(m.shape[1] for m in mats)
+    rows = []
+    for m in mats:
+        pad = np.full((m.shape[0], width - m.shape[1]), -1, np.int32)
+        rows.append(np.concatenate([pad, m], axis=1))
+    return np.unique(np.concatenate(rows, axis=0), axis=0)
+
+
 def _encode_no_bos(tokenizer, text: str) -> list:
     ids = tokenizer(text).input_ids
     bos = getattr(tokenizer, "bos_token_id", None)
@@ -634,17 +733,47 @@ def ensure_turn_capacity(
     (continuous-batched cognition pads every fired slot's plan to ONE shared
     bucket, so each slot must budget for the shared size, not its own).
     """
-    turn_scaffold = 16  # "[INST] <video>\n [/INST]" worst case
-    n_spliced = len(pending_ids) + turn_scaffold + span_len
-    bucket = max(
-        bucket_length(min(n_spliced, engine.buckets[-1]), engine.buckets), min_bucket
-    )
+    bucket = turn_bucket(engine, len(pending_ids), span_len, min_bucket)
     if int(cache.length[0]) + bucket + max_new_tokens <= engine.kv_capacity:
         return pending_ids, cache
+    new_pending = rebuild_history_pending(
+        engine, tokenizer, turns, pending_ids, span_len, max_new_tokens,
+        min_bucket=min_bucket,
+    )
+    return new_pending, engine.new_kv_cache()
 
+
+_TURN_SCAFFOLD = 16  # "[INST] <video>\n [/INST]" worst case
+
+
+def turn_bucket(engine, n_pending: int, span_len: int, min_bucket: int = 0) -> int:
+    """The prefill bucket a turn with this pending/span size will pick."""
+    n_spliced = n_pending + _TURN_SCAFFOLD + span_len
+    return max(
+        bucket_length(min(n_spliced, engine.buckets[-1]), engine.buckets), min_bucket
+    )
+
+
+def rebuild_history_pending(
+    engine,
+    tokenizer,
+    turns: list,
+    pending_ids: list,
+    span_len: int,
+    max_new_tokens: int,
+    min_bucket: int = 0,
+    capacity: Optional[int] = None,
+) -> list:
+    """The reset half of the KV-capacity guard: rebuild the pending suffix
+    from recent turns re-carried as text (the reference's
+    past_review_caption mechanism) for a FRESH cache of `capacity` tokens
+    (defaults to engine.kv_capacity; the paged path passes its per-dialogue
+    page budget)."""
+    if capacity is None:
+        capacity = engine.kv_capacity
     keep = min(
-        engine.kv_capacity // 2,
-        max(engine.buckets) - span_len - turn_scaffold - max_new_tokens,
+        capacity // 2,
+        max(engine.buckets) - span_len - _TURN_SCAFFOLD - max_new_tokens,
     )
     history: list = []
     for turn in turns[::-1]:
@@ -656,9 +785,9 @@ def ensure_turn_capacity(
     # budget vs capacity (a bucket-sized prefill into a too-small cache is
     # the exact clamped-write corruption this guard exists to prevent)
     def fits(hist):
-        n = len(hist) + turn_scaffold + span_len
+        n = len(hist) + _TURN_SCAFFOLD + span_len
         b = max(bucket_length(min(n, engine.buckets[-1]), engine.buckets), min_bucket)
-        return b + max_new_tokens <= engine.kv_capacity and n <= engine.buckets[-1]
+        return b + max_new_tokens <= capacity and n <= engine.buckets[-1]
 
     while history and not fits(history):
         # drop the oldest kept turn (history entries are whole turns only
@@ -669,8 +798,7 @@ def ensure_turn_capacity(
         history = []
     # history re-renders every kept turn incl. its </s>; the old pending
     # (at most the dangling </s> of the last turn) is superseded by it
-    new_pending = history if turns else pending_ids
-    return new_pending, engine.new_kv_cache()
+    return history if turns else pending_ids
 
 
 def run_cognition_turn(
@@ -683,6 +811,7 @@ def run_cognition_turn(
     max_new_tokens: int = 128,
     temperature: float = 0.0,
     rng_key=None,
+    stop_ids=None,
 ):
     """One cognition turn: splice the span into the pending suffix, prefill,
     decode.  Returns (text, tokens, new_pending_ids, cache).
@@ -693,7 +822,8 @@ def run_cognition_turn(
     plan = build_turn_plan(engine, tokenizer, span, pending_ids)
     last, cache = engine.prefill(plan, memory, cache)
     tokens, cache = engine.generate_from_prefill(
-        last, cache, max_new_tokens, temperature=temperature, rng_key=rng_key
+        last, cache, max_new_tokens, temperature=temperature, rng_key=rng_key,
+        stop_ids=stop_ids,
     )
     if hasattr(tokenizer, "decode"):
         try:
@@ -787,6 +917,7 @@ class StreamSession:
         prompt_ids: Optional[list] = None,
         max_new_tokens: int = 128,
         gate_threshold: Optional[float] = None,
+        stop_strings: Optional[list] = None,
     ):
         from ..constants import VIDEO_TOKEN_INDEX
 
@@ -794,6 +925,8 @@ class StreamSession:
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
         self.gate_threshold = gate_threshold  # None → argmax (reference demo)
+        self.stop_strings = list(stop_strings) if stop_strings else []
+        self.stop_ids = stop_id_matrix(tokenizer, self.stop_strings)
         self.video_token = VIDEO_TOKEN_INDEX
 
         self.state = init_stream_state(engine.cfg)
@@ -824,6 +957,7 @@ class StreamSession:
             "interval_ids": list(self.interval_ids),
             "max_new_tokens": self.max_new_tokens,
             "gate_threshold": self.gate_threshold,
+            "stop_strings": list(self.stop_strings),
         }
 
     @classmethod
@@ -832,7 +966,8 @@ class StreamSession:
 
         s = cls(engine, tokenizer,
                 max_new_tokens=int(blob["max_new_tokens"]),
-                gate_threshold=blob["gate_threshold"])
+                gate_threshold=blob["gate_threshold"],
+                stop_strings=blob.get("stop_strings"))
         kv_dtype = s.cache.k.dtype
         mem_dtype = s.state.memory.dtype
         s.state = StreamState(
@@ -888,8 +1023,12 @@ class StreamSession:
 
         text, tokens, self.pending_ids, self.cache = run_cognition_turn(
             eng, self.tokenizer, self.state.memory, span, self.pending_ids,
-            self.cache, self.max_new_tokens,
+            self.cache, self.max_new_tokens, stop_ids=self.stop_ids,
         )
+        if self.stop_strings:
+            from ..mm_utils import trim_at_stop_strings
+
+            text = trim_at_stop_strings(text, self.stop_strings)
         self.turns.append(text)
         self.state = self.state._replace(
             last_fire=jnp.int32(min(cur, eng.cfg.max_stream_frames))

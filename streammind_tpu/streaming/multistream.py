@@ -28,9 +28,13 @@ from .engine import (
     decode_tokens_to_text,
     ensure_turn_capacity,
     post_turn_pending,
+    merge_stop_ids,
+    rebuild_history_pending,
     run_cognition_turn,
     split_kv_cache,
     stack_kv_caches,
+    stop_id_matrix,
+    turn_bucket,
     turn_suffix_ids,
 )
 from .state import init_multistream_state
@@ -48,16 +52,45 @@ class _Slot:
     gate_threshold: Optional[float] = None
     last_fire: int = 0
     frame_idx: int = 0
+    stop_ids: Optional[object] = None  # (S, L) matrix (engine.stop_id_matrix)
 
 
 class MultiStreamServer:
     """Fixed-capacity pool of live streams over one engine."""
 
     def __init__(self, engine: StreamMindEngine, capacity: int = 8,
-                 batch_cognition: bool = True):
+                 batch_cognition: bool = True, kv_mode: str = "dense",
+                 num_pages: Optional[int] = None, page_size: int = 64,
+                 stop_strings: Optional[list] = None):
+        """kv_mode="paged": all dialogues share ONE page pool
+        (streaming/paged.py) instead of a ~kv_capacity dense ring each —
+        resident KV memory tracks the SUM of live dialogue lengths, so more
+        dialogues fit per chip (at 7B bf16 a dense ring is ~1 GB/dialogue).
+        num_pages defaults to HALF the dense-equivalent page count; on pool
+        pressure the guard resets dialogues with text re-carry (the dense
+        path's ensure_turn_capacity semantics).  Note: batched paged
+        cognition compiles once per (bucket, fired-K) — no power-of-two K
+        padding, because padding rows would alias a live dialogue's pages
+        (dense padding duplicates a cache COPY; the pool is shared).
+        """
         self.engine = engine
         self.capacity = capacity
         self.batch_cognition = batch_cognition
+        # server-wide stop strings (one conversation template per model):
+        # decode halts in-loop at the separator (KeywordsStoppingCriteria
+        # parity) and texts are trimmed host-side
+        self.stop_strings = list(stop_strings) if stop_strings else []
+        if kv_mode not in ("dense", "paged"):
+            raise ValueError(f"kv_mode must be 'dense' or 'paged', got {kv_mode!r}")
+        self.kv_mode = kv_mode
+        self.paged = None
+        if kv_mode == "paged":
+            from .paged import PagedDialogues
+
+            if num_pages is None:
+                per_seq = -(-engine.kv_capacity // page_size)
+                num_pages = max(capacity * per_seq // 2, per_seq)
+            self.paged = PagedDialogues(engine, num_pages, page_size)
         # K-buckets for batched cognition: fired-slot count pads up to the
         # next power of two so prefill/decode compile once per (bucket, K)
         self._k_buckets = []
@@ -83,15 +116,20 @@ class MultiStreamServer:
             raise ValueError(f"stream id {stream_id!r} is already attached")
         for i, s in enumerate(self.slots):
             if s is None:
+                if self.paged is not None:
+                    self.paged.open(stream_id)
                 self.slots[i] = _Slot(
                     stream_id=stream_id,
                     tokenizer=tokenizer,
                     pending_ids=list(prompt_ids) if prompt_ids else [],
-                    cache=self.engine.new_kv_cache(),
+                    cache=(None if self.paged is not None
+                           else self.engine.new_kv_cache()),
                     interval_ids=[],
                     turns=[],
                     max_new_tokens=max_new_tokens,
                     gate_threshold=gate_threshold,
+                    stop_ids=(stop_id_matrix(tokenizer, self.stop_strings)
+                              if self.stop_strings else None),
                 )
                 self._reset_slot_state(i)
                 return i
@@ -100,6 +138,8 @@ class MultiStreamServer:
     def remove_stream(self, stream_id: str) -> None:
         for i, s in enumerate(self.slots):
             if s is not None and s.stream_id == stream_id:
+                if self.paged is not None:
+                    self.paged.close(stream_id)  # reclaim its pages
                 self.slots[i] = None
                 self._reset_slot_state(i)
                 return
@@ -171,12 +211,93 @@ class MultiStreamServer:
         return out
 
     # -- cognition ----------------------------------------------------------
+    def _trim(self, text: str) -> str:
+        if self.stop_strings:
+            from ..mm_utils import trim_at_stop_strings
+
+            return trim_at_stop_strings(text, self.stop_strings)
+        return text
+
     def _slot_span(self, i: int) -> list:
         slot = self.slots[i]
         cfg = self.engine.cfg
         cur = min(slot.frame_idx, cfg.max_stream_frames)
         start = min(slot.last_fire, cur)
         return list(range(start, cur)) or [max(cur - 1, 0)]
+
+    # -- paged-pool capacity management -------------------------------------
+    def _paged_slot_capacity(self) -> int:
+        return min(self.engine.kv_capacity, self.paged.dialogue_capacity)
+
+    def _reset_paged_slot(self, i: int, span_len: int, min_bucket: int = 0) -> None:
+        """Reclaim slot i's pages and re-carry recent turns as text — the
+        paged analogue of handing a dense session a fresh KV cache."""
+        slot = self.slots[i]
+        self.paged.reset(slot.stream_id)
+        slot.pending_ids = rebuild_history_pending(
+            self.engine, slot.tokenizer, slot.turns, slot.pending_ids,
+            span_len, slot.max_new_tokens, min_bucket=min_bucket,
+            capacity=self._paged_slot_capacity(),
+        )
+
+    def _paged_capacity_guard(self, i: int, span_len: int,
+                              min_bucket: int = 0) -> bool:
+        """Make room for one turn of slot i on the shared pool — and RESERVE
+        it (ensure_capacity allocates the pages now, so a multi-fire tick's
+        slots see each other's claims; an independent free_pages check per
+        slot would overcommit the pool and blow up inside run_turns).
+
+        Two pressures, each answered with reset + text re-carry (dense
+        ensure_turn_capacity semantics): (1) the dialogue's own page budget
+        can't take bucket + decode tokens → reset slot i; (2) the POOL is
+        dry → reclaim from the biggest other dialogues first, then self.
+        Returns True if any dialogue was reset (callers running a
+        shared-bucket fixpoint must re-derive the bucket)."""
+        from .paged import PagePoolExhausted
+
+        slot = self.slots[i]
+        pd = self.paged
+        did = slot.stream_id
+        cap = self._paged_slot_capacity()
+        changed = False
+
+        bucket = turn_bucket(self.engine, len(slot.pending_ids), span_len, min_bucket)
+        if pd.lengths[did] + bucket + slot.max_new_tokens > cap:
+            self._reset_paged_slot(i, span_len, min_bucket)
+            changed = True
+            bucket = turn_bucket(self.engine, len(slot.pending_ids), span_len, min_bucket)
+
+        def reserve():
+            try:
+                pd.ensure_capacity(did, bucket + slot.max_new_tokens)
+                return True
+            except PagePoolExhausted:
+                return False
+
+        if not reserve():
+            # pool dry: reclaim from the biggest other dialogues first
+            victims = sorted(
+                (j for j, s in enumerate(self.slots)
+                 if s is not None and j != i and pd.tables[s.stream_id]),
+                key=lambda j: -len(pd.tables[self.slots[j].stream_id]),
+            )
+            for j in victims:
+                if reserve():
+                    break
+                self._reset_paged_slot(j, 1, 0)
+                changed = True
+            if not reserve() and pd.tables[did]:
+                self._reset_paged_slot(i, span_len, min_bucket)
+                changed = True
+                bucket = turn_bucket(
+                    self.engine, len(slot.pending_ids), span_len, min_bucket
+                )
+            if not reserve():
+                raise PagePoolExhausted(
+                    f"pool of {pd.pool.num_pages} pages cannot hold one "
+                    f"turn (bucket {bucket} + {slot.max_new_tokens} decode)"
+                )
+        return changed
 
     def _cognify_slots(self, fired: List[int]) -> Dict[int, str]:
         """Run one cognition turn for every fired slot.  Two or more fires on
@@ -185,6 +306,8 @@ class MultiStreamServer:
             return {}
         if len(fired) == 1 or not self.batch_cognition:
             return {i: self._cognify_slot(i) for i in fired}
+        if self.paged is not None:
+            return self._cognify_slots_paged(fired)
 
         eng = self.engine
         cfg = eng.cfg
@@ -253,17 +376,88 @@ class MultiStreamServer:
 
         last, cache = eng.prefill_batch(plans, memory, cache)
         tok_lists, _steps, cache = eng.generate_from_prefill_batch(
-            last, cache, limits, active=active
+            last, cache, limits, active=active,
+            stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
         )
         parts = split_kv_cache(cache, K)
         for j, i in enumerate(rows):
             slot = self.slots[i]
             slot.interval_ids.append(slot.frame_idx)
-            text = decode_tokens_to_text(slot.tokenizer, tok_lists[j])
+            text = self._trim(decode_tokens_to_text(slot.tokenizer, tok_lists[j]))
             slot.turns.append(text)
             slot.pending_ids = post_turn_pending(slot.tokenizer)
             slot.cache = parts[j]
             slot.last_fire = min(slot.frame_idx, cfg.max_stream_frames)
+            texts[i] = text
+        return texts
+
+    def _cognify_slots_paged(self, fired: List[int]) -> Dict[int, str]:
+        """Batched paged cognition: fired dialogues share one bucket, one
+        prefill and one lockstep decode over the page pool
+        (PagedDialogues.run_turns)."""
+        eng = self.engine
+        spans = {i: self._slot_span(i) for i in fired}
+
+        # shared-bucket fixpoint (a reset's history re-carry can change a
+        # slot's bucket; a pool-pressure reset can change ANY slot's)
+        shared = 0
+        for _ in range(4):
+            for i in fired:
+                slot = self.slots[i]
+                suffix = turn_suffix_ids(slot.tokenizer, slot.pending_ids)
+                n = len(suffix) - 1 + len(spans[i])
+                shared = max(shared, bucket_length(
+                    min(n, eng.buckets[-1]), eng.buckets))
+            changed = False
+            for i in fired:
+                if self._paged_capacity_guard(i, len(spans[i]), min_bucket=shared):
+                    changed = True
+            if not changed:
+                break
+
+        # slots the shared bucket still can't fit degrade to their own
+        # sequential turns instead of crashing the tick
+        cap = self._paged_slot_capacity()
+        rows, odd = [], []
+        for i in fired:
+            slot = self.slots[i]
+            suffix = turn_suffix_ids(slot.tokenizer, slot.pending_ids)
+            n_spliced = len(suffix) - 1 + len(spans[i])
+            budget = (self.paged.lengths[slot.stream_id] + shared
+                      + slot.max_new_tokens)
+            ok = (budget <= cap and n_spliced <= shared
+                  # fully reserved (the guard fixpoint is bounded; a row
+                  # another row's pressure-reset un-reserved late degrades
+                  # to its own sequential turn instead of crashing the tick)
+                  and self.paged.pages_needed(
+                      slot.stream_id, shared + slot.max_new_tokens) == 0)
+            (rows if ok else odd).append(i)
+        texts: Dict[int, str] = {i: self._cognify_slot(i, spans[i]) for i in odd}
+        if not rows:
+            return texts
+        if len(rows) == 1:
+            texts[rows[0]] = self._cognify_slot(rows[0], spans[rows[0]])
+            return texts
+
+        plans = [
+            build_turn_plan(eng, self.slots[i].tokenizer, spans[i],
+                            self.slots[i].pending_ids, pad_to=shared)
+            for i in rows
+        ]
+        memories = [self.state.memory[i : i + 1] for i in rows]
+        limits = [self.slots[i].max_new_tokens for i in rows]
+        tok_lists = self.paged.run_turns(
+            [self.slots[i].stream_id for i in rows], plans, memories,
+            max_new_tokens=limits,
+            stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
+        )
+        for j, i in enumerate(rows):
+            slot = self.slots[i]
+            slot.interval_ids.append(slot.frame_idx)
+            text = self._trim(decode_tokens_to_text(slot.tokenizer, tok_lists[j]))
+            slot.turns.append(text)
+            slot.pending_ids = post_turn_pending(slot.tokenizer)
+            slot.last_fire = min(slot.frame_idx, eng.cfg.max_stream_frames)
             texts[i] = text
         return texts
 
@@ -274,16 +468,32 @@ class MultiStreamServer:
         if span is None:
             span = self._slot_span(i)
         slot.interval_ids.append(slot.frame_idx)
+        memory_row = self.state.memory[i : i + 1]
+
+        if self.paged is not None:
+            self._paged_capacity_guard(i, len(span))
+            plan = build_turn_plan(
+                self.engine, slot.tokenizer, span, slot.pending_ids
+            )
+            toks = self.paged.run_turn(
+                slot.stream_id, plan, memory_row,
+                max_new_tokens=slot.max_new_tokens, stop_ids=slot.stop_ids,
+            )
+            text = self._trim(decode_tokens_to_text(slot.tokenizer, toks))
+            slot.pending_ids = post_turn_pending(slot.tokenizer)
+            slot.turns.append(text)
+            slot.last_fire = cur
+            return text
 
         slot.pending_ids, slot.cache = ensure_turn_capacity(
             self.engine, slot.tokenizer, slot.pending_ids, slot.turns,
             slot.cache, len(span), slot.max_new_tokens,
         )
-        memory_row = self.state.memory[i : i + 1]
         text, tokens, slot.pending_ids, slot.cache = run_cognition_turn(
             self.engine, slot.tokenizer, memory_row, span, slot.pending_ids,
-            slot.cache, slot.max_new_tokens,
+            slot.cache, slot.max_new_tokens, stop_ids=slot.stop_ids,
         )
+        text = self._trim(text)
         slot.turns.append(text)
         slot.last_fire = cur
         return text

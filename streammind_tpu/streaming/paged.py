@@ -245,11 +245,10 @@ def paged_text_forward(
     length: jax.Array,  # (B,)
     input_ids: Optional[jax.Array] = None,
     inputs_embeds: Optional[jax.Array] = None,
-    cache_advance: Optional[jax.Array] = None,
 ):
     """text_forward's cache branch over the paged pool: append the block at
     `length`, attend to the whole valid prefix, return (logits, pool).
-    `length` advances by cache_advance (per row) — the caller tracks it."""
+    Lengths are tracked host-side by the caller (PagedDialogues.lengths)."""
     x = inputs_embeds if inputs_embeds is not None else lm.embed_tokens(params, input_ids)
     b, s, d = x.shape
     page_size = pool.page_size
@@ -343,6 +342,24 @@ class PagedDialogues:
     def free_pages(self) -> int:
         return len(self._free)
 
+    @property
+    def dialogue_capacity(self) -> int:
+        """Max tokens one dialogue can hold (per-seq page budget)."""
+        return self.max_pages * self.page_size
+
+    def reset(self, did: str) -> None:
+        """Reclaim a dialogue's pages but keep it open (the paged analogue
+        of handing a dense session a fresh KV cache on capacity overflow —
+        the caller re-carries recent turns as text)."""
+        self._free.extend(self.tables[did])
+        self.tables[did] = []
+        self.lengths[did] = 0
+
+    def pages_needed(self, did: str, n_tokens: int) -> int:
+        """How many NEW pages ensure_capacity(did, n_tokens) would allocate."""
+        need_total = -(-(self.lengths[did] + n_tokens) // self.page_size)
+        return max(need_total - len(self.tables[did]), 0)
+
     def ensure_capacity(self, did: str, n_tokens: int) -> None:
         """Allocate pages so dialogue `did` can hold n_tokens more tokens."""
         need_total = -(-(self.lengths[did] + n_tokens) // self.page_size)
@@ -377,16 +394,29 @@ class PagedDialogues:
         return last, pool
 
     def _decode_impl(self, params, pool, table, length, first_token, max_new: int,
-                     eos_id, temperature, rng_key):
+                     eos_id, temperature, rng_key, limits, stop_ids):
+        """Lockstep batched decode with per-row token limits (`limits` (K,)
+        int32, the paged analogue of the dense _decode_batch_impl limits) —
+        rows that hit their own limit stop advancing their length/pages
+        while the rest continue.  stop_ids: (S, L) stop sequences
+        left-padded with -1 (in-loop KeywordsStoppingCriteria); (0, 1) for
+        none."""
         cfg = self.engine.cfg.text
+        L = stop_ids.shape[1]
+
+        def stop_hit(tail):  # (K, L) → (K,)
+            return jnp.any(
+                jnp.all((stop_ids[None] == tail[:, None, :]) | (stop_ids[None] < 0),
+                        axis=2),
+                axis=1,
+            )
 
         def cond(carry):
-            i, tok, pool, length, buf, done, key = carry
+            i, tok, pool, length, buf, done, key, tail = carry
             return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(done)))
 
         def body(carry):
-            i, tok, pool, length, buf, done, key = carry
-            buf = buf.at[:, i].set(jnp.where(done, eos_id, tok))
+            i, tok, pool, length, buf, done, key, tail = carry
             logits, pool = paged_text_forward(
                 params["text"], cfg, pool, table, length, input_ids=tok[:, None]
             )
@@ -398,28 +428,42 @@ class PagedDialogues:
                 jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
                 jnp.argmax(last, axis=-1),
             ).astype(jnp.int32)
-            nxt = jnp.where(done, eos_id, nxt)
+            limit_hit = i + 1 >= limits
+            nxt = jnp.where(jnp.logical_or(done, limit_hit), eos_id, nxt)
+            tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
+            # sampled tokens land in the buffer immediately (col 0 = first
+            # token) so stop-terminating tokens reach host-side trimming
+            idx = jnp.minimum(i + 1, max_new - 1)
+            col = jnp.where(i + 1 < max_new, nxt, buf[:, idx])
+            buf = buf.at[:, idx].set(col)
             done = jnp.logical_or(done, nxt == eos_id)
-            return (i + 1, nxt, pool, length, buf, done, key)
+            done = jnp.logical_or(done, stop_hit(tail))
+            done = jnp.logical_or(done, limit_hit)
+            return (i + 1, nxt, pool, length, buf, done, key, tail)
 
+        done0 = jnp.logical_or(first_token == eos_id, limits <= 0)
         buf = jnp.full((first_token.shape[0], max_new), eos_id, jnp.int32)
-        done0 = first_token == eos_id
-        _, _, pool, length, buf, _, _ = jax.lax.while_loop(
+        buf = buf.at[:, 0].set(jnp.where(done0, eos_id, first_token))
+        tail0 = jnp.full((first_token.shape[0], L), -2, jnp.int32)
+        tail0 = tail0.at[:, L - 1].set(jnp.where(done0, -2, first_token))
+        done0 = jnp.logical_or(done0, stop_hit(tail0))
+        _, _, pool, length, buf, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), first_token, pool, length, buf, done0, rng_key),
+            (jnp.int32(0), first_token, pool, length, buf, done0, rng_key, tail0),
         )
         return buf, length, pool
 
     # -- per-turn API --------------------------------------------------------
     def run_turns(self, dids: List[str], plans: List[SplicePlan], memories,
-                  max_new_tokens: int = 128, temperature: float = 0.0,
-                  rng_key=None) -> List[List[int]]:
+                  max_new_tokens=128, temperature: float = 0.0,
+                  rng_key=None, stop_ids=None) -> List[List[int]]:
         """One cognition turn for EACH dialogue, batched: one prefill and one
         lockstep decode loop over the shared pool (paged_text_forward takes
         batch-K tables/lengths, so this is the paged analogue of the dense
         continuous-batched cognition — K simultaneous turns cost max(len_k)
         decode steps with amortized weight reads AND the paged memory model).
-        All plans must share one bucket; memories: list of (1, M, D) rows.
+        All plans must share one bucket; memories: list of (1, M, D) rows;
+        max_new_tokens: one int, or a per-dialogue list of K ints.
         Returns K generated token lists."""
         eng = self.engine
         memories = list(memories)
@@ -428,12 +472,20 @@ class PagedDialogues:
                 f"run_turns needs matching lists: {len(dids)} dialogues, "
                 f"{len(plans)} plans, {len(memories)} memories"
             )
+        if isinstance(max_new_tokens, int):
+            limits = [max_new_tokens] * len(dids)
+        else:
+            limits = list(max_new_tokens)
+            if len(limits) != len(dids):
+                raise ValueError(
+                    f"{len(limits)} limits for {len(dids)} dialogues"
+                )
         buckets = {len(p.token_ids) for p in plans}
         if len(buckets) != 1:
             raise ValueError(f"plans must share one bucket, got {sorted(buckets)}")
         bucket = buckets.pop()
-        for did in dids:
-            self.ensure_capacity(did, bucket + max_new_tokens)
+        for did, lim in zip(dids, limits):
+            self.ensure_capacity(did, bucket + lim)
         table = jnp.concatenate([self._table_arr(d) for d in dids], axis=0)
         length = jnp.asarray([self.lengths[d] for d in dids], jnp.int32)
 
@@ -459,9 +511,14 @@ class PagedDialogues:
         else:
             first = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
+        from .engine import _EMPTY_STOP_IDS
+
         buf, new_len, self.pool = self._decode(
-            eng.params, self.pool, table, length, first, max_new_tokens,
+            eng.params, self.pool, table, length, first, max(max(limits), 1),
             jnp.int32(eng.eos_token_id), jnp.float32(temperature), rng_key,
+            jnp.asarray(limits, jnp.int32),
+            jnp.asarray(_EMPTY_STOP_IDS if stop_ids is None else stop_ids,
+                        jnp.int32),
         )
         from .engine import tokens_until_eos
 
@@ -473,11 +530,11 @@ class PagedDialogues:
 
     def run_turn(self, did: str, plan: SplicePlan, memory,
                  max_new_tokens: int = 128, temperature: float = 0.0,
-                 rng_key=None) -> List[int]:
+                 rng_key=None, stop_ids=None) -> List[int]:
         """One cognition turn for dialogue `did` over the shared pool:
         bucketed prefill of the spliced suffix + greedy/sampled decode.
         Returns the generated token list."""
         return self.run_turns(
             [did], [plan], [memory], max_new_tokens=max_new_tokens,
-            temperature=temperature, rng_key=rng_key,
+            temperature=temperature, rng_key=rng_key, stop_ids=stop_ids,
         )[0]

@@ -291,7 +291,18 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
 
     # -- model -------------------------------------------------------------
     if cfg is None:
-        cfg = StreamMindConfig(mm_projector_type=model_args.mm_projector_type)
+        if model_args.model_path and os.path.isdir(model_args.model_path):
+            # derive the decoder config from the checkpoint's config.json —
+            # the reference's cfg_pretrained backbone dispatch
+            # (model/builder.py:124-129); this is what makes a Mixtral dir
+            # train as MoE (num_local_experts → TextConfig.num_experts)
+            from ..api import _load_config
+
+            cfg = _load_config(model_args.model_path).replace(
+                mm_projector_type=model_args.mm_projector_type
+            )
+        else:
+            cfg = StreamMindConfig(mm_projector_type=model_args.mm_projector_type)
     dtype = jnp.bfloat16 if training_args.bf16 else jnp.float32
     if model_args.model_path and os.path.isdir(model_args.model_path):
         from ..utils.convert import convert_streammind_checkpoint
@@ -526,6 +537,13 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         attn_impl = training_args.attn_impl
         if attn_impl == "auto":
             attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
+        if attn_impl == "flash":
+            # a mesh that can't divide (B, H) would silently fall back to
+            # the O(S²) jnp path and tank every step — make it a trace-time
+            # error under training instead of a per-call warning
+            from ..ops.attention import set_flash_fallback_mode
+
+            set_flash_fallback_mode("error")
 
         if stage == "cls":
             def loss_fn(p, b, with_tokens=False):

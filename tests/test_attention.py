@@ -197,3 +197,19 @@ def test_flash_sharded_on_mesh_matches_reference(rng):
         np.asarray(mha_reference(q[:3], k[:3], v[:3], causal=True)),
         rtol=1e-4, atol=1e-5,
     )
+
+    # under training policy the same misfit is a hard trace-time error
+    # (train/run.py sets set_flash_fallback_mode("error") when flash is on)
+    from streammind_tpu.ops.attention import set_flash_fallback_mode
+
+    set_flash_fallback_mode("error")
+    try:
+        with jax.set_mesh(mesh):
+            with pytest.raises(ValueError, match="does not divide"):
+                jax.jit(
+                    lambda q, k, v: attention(
+                        q[:3], k[:3], v[:3], causal=True, impl="flash"
+                    )
+                )(q, k, v)
+    finally:
+        set_flash_fallback_mode("warn")
