@@ -1,0 +1,186 @@
+"""Full-dims drive of the PAGED serving plane (VERDICT r2 item 8).
+
+One live multi-dialogue run at real 7B dims through the whole product
+stack — HTTP worker → micro-batching broker → MultiStreamServer →
+shared page pool — on the real chip.  Per the ROADMAP lesson that
+production bugs only fall out of full-size runs, this exercises:
+
+  - int8 7B decoder + int8 gate (the serving density config; bf16 7B
+    weights alone are 14.5 GB and leave no room for a pool),
+  - K concurrent HTTP clients whose frames land in one batched tick,
+  - batched paged cognition (one prefill + one lockstep decode over the
+    pool) when all K gates fire together,
+  - the page pool (256 pages x 64 tok = 16k tokens shared; K dense rings
+    at capacity 8192 would pin K x 1.07 GB).
+
+Prints one JSON line per phase:
+  phase "perceive": silent ticks (no fires) — ms/tick at K streams
+  phase "cognify":  every-tick fires — ms/turn-tick and aggregate tok/s
+
+Weights are constant-filled (random init at 7B OOMs through fp32
+transients; timing depends only on shapes).  Timings include HTTP, JPEG
+decode + CLIP preprocess, and tunnel round-trips — the end-to-end number,
+not the device-program number (those are in PARITY.md).
+"""
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 4
+NUM_PAGES = 256
+PAGE_SIZE = 64
+MAX_NEW = 16
+TICKS = 12
+
+
+class WordTokenizer:
+    bos_token_id = 1
+    eos_token_id = 2
+    eos_token = "</s>"
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text):
+        return self._Out([1] + [3 + (hash(w) % 30000) for w in text.split()][:24])
+
+    def decode(self, ids, **kw):
+        return " ".join(f"<{i}>" for i in ids)
+
+
+def build_model():
+    from streammind_tpu.api import StreamMindModel
+    from streammind_tpu.config import StreamMindConfig
+    from streammind_tpu.models.meta import init_streammind_params
+    from streammind_tpu.streaming.engine import StreamMindEngine
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    cfg = StreamMindConfig()
+    shapes = jax.eval_shape(
+        lambda k: init_streammind_params(k, cfg, jnp.bfloat16),
+        jax.random.PRNGKey(0),
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    # int8 decoder + gate (free_source drops each bf16 layer as it
+    # quantizes — required to fit the 7B load on a 16 GB chip)
+    params["text"] = quantize_text_params(params["text"], bits=8, free_source=True)
+    engine = StreamMindEngine(
+        params, cfg, quantize_gate=True, fast_vision="int8",
+        kv_capacity=NUM_PAGES * PAGE_SIZE // 2,
+    )
+    return StreamMindModel(params=engine.params, cfg=cfg, engine=engine)
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return json.loads(urllib.request.urlopen(req, timeout=600).read())
+
+
+def _jpeg_b64(size):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (size, size, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def run_phase(port, gate_threshold, label, ticks=TICKS):
+    size = 336
+    frame = _jpeg_b64(size)
+    sids = []
+    for i in range(K):
+        out = _post(port, "/stream_session/start",
+                    {"session_id": f"{label}{i}", "gate_threshold": gate_threshold,
+                     "max_new_tokens": MAX_NEW})
+        sids.append(out["session_id"])
+
+    tick_times = []
+    errs = []
+
+    def client(sid, results):
+        results[sid] = _post(port, "/stream_session/frame",
+                             {"session_id": sid, "frame_b64": frame})
+
+    for t in range(ticks):
+        results = {}
+        threads = [threading.Thread(target=client, args=(sid, results))
+                   for sid in sids]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+        for sid, r in results.items():
+            if r.get("error_code"):
+                errs.append((t, sid, r))
+        if t >= 2:  # skip compile ticks
+            tick_times.append(dt)
+    for sid in sids:
+        _post(port, "/stream_session/stop", {"session_id": sid})
+    return tick_times, errs
+
+
+def main():
+    model = build_model()
+    tok = WordTokenizer()
+    from streammind_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        controller_addr="", worker_addr="", model_path="",
+        model_name="streammind-7b-int8", model=model, tokenizer=tok,
+        no_register=True, multistream_capacity=K, kv_mode="paged",
+        num_pages=NUM_PAGES, page_size=PAGE_SIZE,
+    )
+    port = _free_port()
+    server = serve_worker(worker, "127.0.0.1", port)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    silent, errs_a = run_phase(port, 2.0, "s")
+    p50 = float(np.median(silent))
+    print(json.dumps({
+        "phase": "perceive", "streams": K,
+        "ms_per_tick_p50": round(p50 * 1e3, 1),
+        "aggregate_fps": round(K / p50, 1),
+        "errors": errs_a[:3],
+    }), flush=True)
+
+    turns, errs_b = run_phase(port, -1.0, "c")
+    p50t = float(np.median(turns))
+    print(json.dumps({
+        "phase": "cognify", "streams": K, "max_new_tokens": MAX_NEW,
+        "ms_per_turn_tick_p50": round(p50t * 1e3, 1),
+        "aggregate_tok_s": round(K * MAX_NEW / p50t, 1),
+        "broker_ticks": worker.broker.ticks,
+        "frames_seen": worker.broker.frames_seen,
+        "errors": errs_b[:3],
+    }), flush=True)
+    worker.broker.shutdown()
+    server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

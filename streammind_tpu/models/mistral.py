@@ -108,11 +108,33 @@ def _mlp(x, p, cfg: TextConfig):
     return linear(g * u, p["mlp"]["down"])
 
 
+_MOE_GATHER_MAX_TOKENS = 4
+
+
+def _wrap_expert_leaf(leaf):
+    """Expert banks are raw (E, F, D) arrays at init and {"w_int8"/"w_int4",
+    scale} dicts after quantized loading — normalize to linear() leaves."""
+    return leaf if isinstance(leaf, dict) else {"weight": leaf}
+
+
 def _moe_mlp(x, p, cfg: TextConfig):
     """Mixtral sparse MoE.  Router softmax over top-k experts, renormalized
-    (HF MixtralSparseMoeBlock semantics).  Dispatch is dense one-hot einsum —
-    correct and shardable over the expert axis; a ragged all-to-all kernel is
-    a later optimization.
+    (HF MixtralSparseMoeBlock semantics).
+
+    Two dispatches by static token count T = B*S:
+      - T <= _MOE_GATHER_MAX_TOKENS (the decode hot path): per-token GATHER
+        of the top-k experts' weights — reads k/E of the expert bytes per
+        token instead of all E banks (decode is weight-bandwidth bound; at
+        Mixtral 8x7B top-2 this is 4x less expert traffic per step).
+      - otherwise: dense one-hot scan over all experts — correct, shardable
+        over the expert ('ep') mesh axis, and FLOPs-optimal once T is large
+        enough that every expert has work anyway (at T tokens each expert
+        sees ~T*k/E of them; for training T≈2048 the dense path's extra
+        FLOPs are the price of static shapes, a ragged all-to-all kernel is
+        the later optimization — ROADMAP).
+
+    Expert leaves go through utils.params.linear, so quantized (int8/int4)
+    banks and matmul-time LoRA compose with both dispatches.
     """
     b, s, d = x.shape
     xt = x.reshape(b * s, d)
@@ -120,6 +142,13 @@ def _moe_mlp(x, p, cfg: TextConfig):
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+    banks = tuple(_wrap_expert_leaf(p["experts"][n]) for n in ("gate", "up", "down"))
+
+    if b * s <= _MOE_GATHER_MAX_TOKENS:
+        out = _moe_apply_gathered(xt, banks, cfg, topi, topw)
+        return out.reshape(b, s, d)
+
     combine = jnp.sum(
         jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype) * topw[..., None],
         axis=1,
@@ -127,23 +156,35 @@ def _moe_mlp(x, p, cfg: TextConfig):
 
     def expert_apply(carry, ep):
         gate_w, up_w, down_w, weight_col = ep
-        g = jax.nn.silu(xt @ gate_w.T.astype(xt.dtype))
-        u = xt @ up_w.T.astype(xt.dtype)
-        y = (g * u) @ down_w.T.astype(xt.dtype)
+        g = jax.nn.silu(linear(xt, gate_w))
+        u = linear(xt, up_w)
+        y = linear(g * u, down_w)
         return carry + y * weight_col[:, None].astype(xt.dtype), None
 
     init = jnp.zeros_like(xt)
     out, _ = jax.lax.scan(
-        expert_apply,
-        init,
-        (
-            p["experts"]["gate"],
-            p["experts"]["up"],
-            p["experts"]["down"],
-            combine.T,  # (E, T)
-        ),
+        expert_apply, init, (*banks, combine.T)  # leaves sliced on E per step
     )
     return out.reshape(b, s, d)
+
+
+def _moe_apply_gathered(xt, banks, cfg: TextConfig, topi, topw):
+    """Top-k gather dispatch for tiny T: each token dynamically indexes its
+    k experts' weight banks (an (F, D)-sized gather each — XLA reads only
+    those experts from HBM) and runs k small matmuls."""
+
+    def per_token(x_row, idx, wts):
+        y = jnp.zeros_like(x_row)
+        for k in range(cfg.num_experts_per_tok):
+            gw, uw, dw = (
+                jax.tree.map(lambda a: a[idx[k]], bank) for bank in banks
+            )
+            g = jax.nn.silu(linear(x_row[None], gw))[0]
+            u = linear(x_row[None], uw)[0]
+            y = y + linear((g * u)[None], dw)[0] * wts[k].astype(x_row.dtype)
+        return y
+
+    return jax.vmap(per_token)(xt, topi, topw)
 
 
 def _attn_block(

@@ -75,7 +75,14 @@ def copy_decoder_layers_into_gate(params, cfg: StreamMindConfig):
 
     for name in ("q", "k", "v", "o", "input_norm", "post_norm"):
         gate[name] = take(text[name], gate[name])
-    gate["mlp"] = take(text["mlp"], gate["mlp"])
+    if "mlp" in text:
+        gate["mlp"] = take(text["mlp"], gate["mlp"])
+    else:
+        # MoE decoder (Mixtral): there is no dense mlp to copy into the
+        # dense gate — attention + norms transfer, the gate MLP stays as
+        # initialized (the reference only ran skip_cls on the Mistral
+        # backbone; its per-name copy would likewise find no mlp match)
+        logger.info("skip_cls: MoE decoder has no dense mlp; gate MLP keeps init")
     params["projector"]["cls_net"]["layers"] = gate
     logger.info("complete aligning cls_weight (decoder → gate)")
     return params

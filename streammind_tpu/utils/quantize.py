@@ -114,9 +114,17 @@ def quantize_text_params(text_params: dict, bits: int = 8,
         for name in ("gate", "up", "down"):
             mlp[name] = quant(mlp[name])
         layers["mlp"] = mlp
-    # Mixtral expert banks stay full precision: _moe_mlp consumes raw
-    # arrays (not linear() leaves), so quantizing them here would be silently
-    # ignored — a dedicated MoE quant path is future work.
+    if "experts" in layers:
+        # Mixtral expert banks (L, E, F, D): quantized along the input (last)
+        # axis like any linear — _moe_mlp consumes the same {"w_int8"/
+        # "w_int4", scale} leaves via utils.params.linear.  The router stays
+        # full precision (it is tiny and decides routing).
+        experts = dict(layers["experts"])
+        for name in ("gate", "up", "down"):
+            experts[name] = quant({"weight": experts[name]}
+                                  if not isinstance(experts[name], dict)
+                                  else experts[name])
+        layers["experts"] = experts
     out["layers"] = layers
     return out
 

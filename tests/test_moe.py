@@ -1,0 +1,155 @@
+"""MoE/Mixtral as a product configuration (VERDICT r2 item 5).
+
+Covers: gather-vs-dense dispatch equivalence (the decode hot path reads
+only the top-k experts' weights), quantized expert loading (int8/int4
+banks through utils.params.linear), and an end-to-end tiny-Mixtral
+train-and-resume run.  Reference bearing: videollama2_mixtral.py:42 +
+bnb quantized loading in model/builder.py:43-52 applying to whatever
+backbone is loaded, including Mixtral.
+"""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_like_tokenizer import SPLikeTokenizer
+from streammind_tpu.config import tiny_streammind_config, tiny_text_config
+from streammind_tpu.models import mistral as lm
+from streammind_tpu.utils.quantize import quantize_text_params
+
+
+def _moe_cfg(num_experts=4, top_k=2):
+    return dataclasses.replace(
+        tiny_text_config(), num_experts=num_experts, num_experts_per_tok=top_k
+    )
+
+
+@pytest.fixture(scope="module")
+def moe_setup():
+    cfg = _moe_cfg()
+    params = lm.init_text_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    return cfg, params
+
+
+def test_gather_dispatch_matches_dense(moe_setup):
+    """T <= _MOE_GATHER_MAX_TOKENS routes through the per-token expert
+    gather; it must agree with the dense one-hot scan token-for-token."""
+    cfg, params = moe_setup
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.hidden_size), jnp.float32)
+    dense = lm._mlp(x, lp, cfg)  # T=32: dense path
+    for t in (1, 2, 4):
+        small = lm._mlp(x[:1, :t], lp, cfg)  # gather path
+        np.testing.assert_allclose(
+            np.asarray(small), np.asarray(dense[:1, :t]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_quantized_expert_loading(moe_setup):
+    """quantize_text_params covers the expert banks: int8 leaves flow
+    through linear() in BOTH dispatches; int4 packs at rest."""
+    cfg, params = moe_setup
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.hidden_size), jnp.float32)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    dense = lm._mlp(x, lp, cfg)
+
+    q8 = quantize_text_params(params, bits=8)
+    assert q8["layers"]["experts"]["gate"]["w_int8"].dtype == jnp.int8
+    l8 = jax.tree.map(lambda a: a[0], q8["layers"])
+    y8 = lm._mlp(x, l8, cfg)
+    rel = float(jnp.linalg.norm(y8 - dense) / jnp.linalg.norm(dense))
+    assert rel < 0.05, rel
+    # gather path consumes the same quantized leaves
+    y8_small = lm._mlp(x[:1, :1], l8, cfg)
+    np.testing.assert_allclose(
+        np.asarray(y8_small), np.asarray(y8[:1, :1]), rtol=2e-5, atol=2e-5
+    )
+
+    q4 = quantize_text_params(params, bits=4)
+    assert "w_int4" in q4["layers"]["experts"]["down"]
+    l4 = jax.tree.map(lambda a: a[0], q4["layers"])
+    y4 = lm._mlp(x, l4, cfg)
+    rel4 = float(jnp.linalg.norm(y4 - dense) / jnp.linalg.norm(dense))
+    assert rel4 < 0.5, rel4  # int4 is a memory-at-rest tier, looser
+
+
+def test_full_forward_quantized_moe_decode(moe_setup):
+    """End-to-end text_forward with a KV cache on an int8 Mixtral:
+    single-token decode (gather dispatch) stays close to full precision."""
+    cfg, params = moe_setup
+    q8 = quantize_text_params(params, bits=8)
+    ids = jnp.asarray([[1, 7, 23, 5]], jnp.int32)
+
+    logits, _ = lm.text_forward(params, cfg, input_ids=ids)
+    logits8, _ = lm.text_forward(q8, cfg, input_ids=ids)
+    # rank agreement on the next-token argmax is what serving needs
+    assert int(jnp.argmax(logits[0, -1])) == int(jnp.argmax(logits8[0, -1]))
+
+    cache = lm.init_kv_cache(cfg, 1, 32, jnp.float32)
+    _, cache = lm.text_forward(q8, cfg, input_ids=ids, cache=cache)
+    step_logits, cache = lm.text_forward(
+        q8, cfg, input_ids=ids[:, -1:] * 0 + 9, cache=cache
+    )
+    assert np.isfinite(np.asarray(step_logits)).all()
+
+
+def test_train_mixtral_stage1_and_resume(tmp_path):
+    """Tiny-Mixtral end-to-end through the REAL train() loop with
+    checkpoint + resume (the reference trains Mixtral via
+    set_z3_leaf_modules, train_new_stream.py:770-771; here it is just a
+    config)."""
+    from test_train_run import FakeScoreDataset, _args
+    from streammind_tpu.utils.checkpoint import sorted_checkpoints
+    from streammind_tpu.train.run import train
+
+    base = tiny_streammind_config()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(
+            base.text, num_experts=4, num_experts_per_tok=2
+        )
+    )
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma, da, ta = _args(tmp_path, "llm")
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 4
+    import json as _json
+
+    log = os.path.join(str(tmp_path), "logs", "metrics.jsonl")
+    losses = [_json.loads(l)["train/loss"] for l in open(log)]
+    assert losses and all(np.isfinite(losses)), losses
+    assert sorted_checkpoints(str(tmp_path)) == [2, 4]
+
+    # resume no-op at max_steps
+    state2 = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state2.step) == 4
+
+
+def test_train_derives_moe_config_from_checkpoint_dir(tmp_path):
+    """A model dir with a Mixtral config.json trains as MoE (the
+    reference's cfg_pretrained backbone dispatch, builder.py:124-129)."""
+    import json
+
+    from streammind_tpu.train.args import ModelArguments
+    from streammind_tpu.api import _load_config
+
+    raw = {
+        "model_type": "mixtral",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "vocab_size": 256,
+        "num_local_experts": 4,
+        "num_experts_per_tok": 2,
+    }
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(raw, f)
+    cfg = _load_config(str(tmp_path))
+    assert cfg.text.num_experts == 4
+    assert cfg.text.num_experts_per_tok == 2
+    assert cfg.text.hidden_size == 64
