@@ -63,17 +63,33 @@ def build_model():
     from streammind_tpu.streaming.engine import StreamMindEngine
     from streammind_tpu.utils.quantize import quantize_text_params
 
+    from streammind_tpu.utils.quantize import quantize_gate_params
+
     cfg = StreamMindConfig()
     shapes = jax.eval_shape(
         lambda k: init_streammind_params(k, cfg, jnp.bfloat16),
         jax.random.PRNGKey(0),
     )
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-    # int8 decoder + gate (free_source drops each bf16 layer as it
-    # quantizes — required to fit the 7B load on a 16 GB chip)
-    params["text"] = quantize_text_params(params["text"], bits=8, free_source=True)
+    # Build the QUANTIZED structure directly (eval_shape through the
+    # quantizers): the bf16 full tree (14.5 GB text + ~1.7 GB gate +
+    # vision) does not fit a 16 GB chip even transiently.
+    shapes["text"] = jax.eval_shape(
+        lambda p: quantize_text_params(p, bits=8), shapes["text"]
+    )
+    proj_shapes = dict(shapes["projector"])
+    proj_shapes["cls_net"] = jax.eval_shape(
+        quantize_gate_params, proj_shapes["cls_net"]
+    )
+    shapes["projector"] = proj_shapes
+
+    def fill(s):
+        if s.dtype == jnp.int8:
+            return jnp.full(s.shape, 1, s.dtype)
+        return jnp.full(s.shape, 0.01, s.dtype)
+
+    params = jax.tree.map(fill, shapes)
     engine = StreamMindEngine(
-        params, cfg, quantize_gate=True, fast_vision="int8",
+        params, cfg, fast_vision="int8",
         kv_capacity=NUM_PAGES * PAGE_SIZE // 2,
     )
     return StreamMindModel(params=engine.params, cfg=cfg, engine=engine)
@@ -124,6 +140,17 @@ def run_phase(port, gate_threshold, label, ticks=TICKS):
         results[sid] = _post(port, "/stream_session/frame",
                              {"session_id": sid, "frame_b64": frame})
 
+    # warm-up ticks OUTSIDE the timed loop: first-tick compilation at full
+    # dims takes minutes on the tunneled platform
+    for _ in range(3):
+        results = {}
+        threads = [threading.Thread(target=client, args=(sid, results))
+                   for sid in sids]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
     for t in range(ticks):
         results = {}
         threads = [threading.Thread(target=client, args=(sid, results))
@@ -137,11 +164,47 @@ def run_phase(port, gate_threshold, label, ticks=TICKS):
         for sid, r in results.items():
             if r.get("error_code"):
                 errs.append((t, sid, r))
-        if t >= 2:  # skip compile ticks
-            tick_times.append(dt)
+        tick_times.append(dt)
     for sid in sids:
         _post(port, "/stream_session/stop", {"session_id": sid})
     return tick_times, errs
+
+
+def run_phase_device(worker, gate_threshold, label, ticks=TICKS):
+    """Same tick loop WITHOUT HTTP/JPEG: pre-decoded pixels straight into
+    MultiStreamServer.step — isolates the device+broker cost from the
+    host ingest cost."""
+    from streammind_tpu.mm_utils import clip_preprocess
+    from PIL import Image
+    import io as _io
+
+    raw = base64.b64decode(_jpeg_b64(336))
+    img = Image.open(_io.BytesIO(raw))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        pixels = clip_preprocess([img], image_size=336)
+    host_ms = (time.perf_counter() - t0) / 8 * 1e3
+
+    broker = worker.broker
+    with broker._step_lock, broker._cv:
+        for i in range(K):
+            broker.server.add_stream(f"{label}{i}", worker.tokenizer,
+                                     gate_threshold=gate_threshold,
+                                     max_new_tokens=MAX_NEW)
+    frames = {f"{label}{i}": np.asarray(pixels) for i in range(K)}
+    times = []
+    for t in range(ticks):
+        with broker._step_lock:
+            t0 = time.perf_counter()
+            out = broker.server.step(frames)
+            dt = time.perf_counter() - t0
+        assert len(out) == K
+        if t >= 2:
+            times.append(dt)
+    with broker._step_lock, broker._cv:
+        for i in range(K):
+            broker.server.remove_stream(f"{label}{i}")
+    return times, host_ms
 
 
 def main():
@@ -177,6 +240,21 @@ def main():
         "broker_ticks": worker.broker.ticks,
         "frames_seen": worker.broker.frames_seen,
         "errors": errs_b[:3],
+    }), flush=True)
+
+    # device-side breakdown (no HTTP / no JPEG): where the tick time goes
+    dev_sil, host_ms = run_phase_device(worker, 2.0, "ds")
+    print(json.dumps({
+        "phase": "perceive_device", "streams": K,
+        "ms_per_tick_p50": round(float(np.median(dev_sil)) * 1e3, 1),
+        "host_preprocess_ms_per_frame": round(host_ms, 1),
+    }), flush=True)
+    dev_turn, _ = run_phase_device(worker, -1.0, "dc")
+    p50d = float(np.median(dev_turn))
+    print(json.dumps({
+        "phase": "cognify_device", "streams": K, "max_new_tokens": MAX_NEW,
+        "ms_per_turn_tick_p50": round(p50d * 1e3, 1),
+        "aggregate_tok_s": round(K * MAX_NEW / p50d, 1),
     }), flush=True)
     worker.broker.shutdown()
     server.shutdown()

@@ -125,10 +125,17 @@ class BatchedSessionBroker:
         self._thread.join(timeout=5)
 
     # -- per-frame submission ------------------------------------------------
-    def submit(self, stream_id: str, frame, timeout: float = 120.0) -> dict:
+    def submit(self, stream_id: str, frame, timeout: float = 600.0) -> dict:
         """Enqueue this stream's newest frame; block until its tick lands.
         Returns {"fire": bool, "text": str|None, "frame_idx": int} (plus
-        "closed": True if the session was removed mid-flight)."""
+        "closed": True if the session was removed mid-flight).
+
+        The default timeout must cover FIRST-TICK COMPILATION: at full 7B
+        dims the batched perceive program can take minutes to compile on
+        the tunneled platform, and a timed-out caller leaves its frame
+        queued — the next submit then sees 'previous frame stuck' and the
+        error cascades until the compile drains (observed live in the
+        full-dims drive; steady-state ticks are milliseconds)."""
         deadline = time.time() + timeout
         with self._cv:
             if self._slot(stream_id) is None:

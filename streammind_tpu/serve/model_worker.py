@@ -54,6 +54,7 @@ class ModelWorker:
         kv_mode: str = "paged",
         num_pages: Optional[int] = None,
         page_size: int = 64,
+        prewarm: bool = False,
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -98,11 +99,34 @@ class ModelWorker:
                 self.model.engine, capacity=multistream_capacity,
                 kv_mode=kv_mode, num_pages=num_pages, page_size=page_size,
             )
+            if prewarm:
+                self._prewarm_broker()
 
         if not no_register:
             self.register_to_controller()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
             t.start()
+
+    def _prewarm_broker(self):
+        """Compile the batched perception program BEFORE serving: at full
+        7B dims the first tick takes minutes on a cold cache, which would
+        otherwise land on the first client's frame (and, pre-fix, blow the
+        broker submit timeout).  Runs one synthetic silent tick through
+        the real server.step path."""
+        import numpy as np
+
+        size = self.model.cfg.vision.image_size
+        srv = self.broker.server
+        t0 = time.time()
+        logger.info("prewarm: compiling batched perception...")
+        with self.broker._step_lock, self.broker._cv:
+            srv.add_stream("__warm__", self.tokenizer, gate_threshold=2.0)
+        frame = np.zeros((1, 3, size, size), np.float32)
+        with self.broker._step_lock:
+            srv.step({"__warm__": frame})
+        with self.broker._step_lock, self.broker._cv:
+            srv.remove_stream("__warm__")
+        logger.info(f"prewarm done in {time.time() - t0:.1f}s")
 
     # -- controller plumbing ---------------------------------------------
     def register_to_controller(self):
@@ -440,9 +464,12 @@ def main():
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
-    parser.add_argument("--quantize-gate", action="store_true",
-                        help="weight-only int8 gate (fast config; "
-                             "default: bit-faithful full precision)")
+    parser.add_argument("--quantize-gate", nargs="?", const="int8",
+                        choices=["int8", "int4"], default=None,
+                        help="weight-only quantized gate (fast config; "
+                             "default: bit-faithful full precision). "
+                             "Bare flag = int8; 'int4' uses the fused "
+                             "Pallas int4 matvec (ops/int4_matvec.py)")
     parser.add_argument("--fast-vision", choices=["bf16", "int8"], default=None,
                         help="fast ViT tier: bf16 = bf16-softmax blocks; "
                              "int8 = int8-MXU matmuls + bf16 softmax "
@@ -469,6 +496,11 @@ def main():
                              "dense-equivalent page count for the capacity)")
     parser.add_argument("--page-size", type=int, default=64,
                         help="tokens per KV page (multiple of 8)")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile the batched perception program at "
+                             "startup (first-tick compile takes minutes at "
+                             "7B; without this it lands on the first "
+                             "client frame)")
     args = parser.parse_args()
     worker = ModelWorker(
         args.controller_address,
@@ -485,6 +517,7 @@ def main():
         kv_mode=args.kv_mode,
         num_pages=args.num_pages,
         page_size=args.page_size,
+        prewarm=args.prewarm,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -32,13 +32,24 @@ DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _float_dtype(tree):
-    """First floating-point leaf dtype (skips int8/int4 quantized leaves)."""
-    import numpy as _np
+    """Working float dtype of a (possibly quantized) param tree.
 
+    Prefers a sub-fp32 float if ANY leaf uses one: an int8/int4-quantized
+    tree keeps embeddings/norms at the original compute dtype (bf16) but
+    carries fp32 quantization SCALES — and tree order can put a scale
+    first, which previously made KV caches and page pools silently
+    allocate at fp32 (double memory + bandwidth) on quantized serving
+    loads."""
+    first = None
     for leaf in jax.tree.leaves(tree):
-        if _np.issubdtype(leaf.dtype, _np.floating):
-            return leaf.dtype
-    return jnp.bfloat16
+        # jnp.issubdtype (not np): bfloat16 is an ml_dtypes extension that
+        # numpy's issubdtype does not class as floating
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            if first is None:
+                first = leaf.dtype
+            if leaf.dtype != jnp.float32:
+                return leaf.dtype
+    return first if first is not None else jnp.bfloat16
 
 
 
@@ -71,14 +82,18 @@ class StreamMindEngine:
             params = dict(params)
             params["vision"] = quantize_vit_params(params["vision"])
         if quantize_gate and "cls_net" in params.get("projector", {}):
-            # weight-only int8 on the per-frame gate LM — it is pure weight
-            # bandwidth on the perception hot path (utils/quantize.py)
+            # weight-only quantization of the per-frame gate LM — it is pure
+            # weight bandwidth on the perception hot path (utils/quantize.py).
+            # True/"int8": per-channel int8 (134 → 160 fps measured);
+            # "int4": per-channel int4 through the fused Pallas matvec
+            # (ops/int4_matvec.py) — half the gate bytes again.
             from ..utils.quantize import quantize_gate_params
 
             params = dict(params)
             params["projector"] = dict(params["projector"])
             params["projector"]["cls_net"] = quantize_gate_params(
-                params["projector"]["cls_net"]
+                params["projector"]["cls_net"],
+                bits=4 if quantize_gate == "int4" else 8,
             )
         self.params = params
         self.cfg = cfg

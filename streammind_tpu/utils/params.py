@@ -62,6 +62,27 @@ def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
         from .quantize import dequantize_linear_weight_int4
 
         y = x @ dequantize_linear_weight_int4(p, x.dtype).T
+    elif "w_int4pc" in p:
+        # gate int4 SPEED tier: per-channel scales + column-halved pack —
+        # on TPU the nibble unpack fuses into the matmul inside a Pallas
+        # kernel (ops/int4_matvec.py; XLA's dequant-on-read materializes
+        # the full weight and measured 6.7x slower than int8)
+        import jax as _jax
+
+        lead = x.shape[:-1]
+        t = 1
+        for d in lead:
+            t *= d
+        if _jax.default_backend() == "tpu" and t <= 8:
+            from ..ops.int4_matvec import int4_matvec
+
+            y = int4_matvec(
+                x.reshape(t, x.shape[-1]), p["w_int4pc"], p["scale"]
+            ).reshape(*lead, -1)
+        else:
+            from .quantize import dequantize_linear_weight_int4_pc
+
+            y = x @ dequantize_linear_weight_int4_pc(p, x.dtype).T
     else:
         y = x @ p["weight"].T.astype(x.dtype)
     if "lora_a" in p:

@@ -76,6 +76,36 @@ def dequantize_linear_weight_int4(p: dict, dtype=jnp.float32) -> jax.Array:
     return w.reshape(*q.shape).astype(dtype)
 
 
+def quantize_linear_weight_int4_pc(w: jax.Array) -> dict:
+    """(out, in) float → per-channel symmetric int4, COLUMN-HALVED nibble
+    pack: low nibbles hold input columns [0, in/2), high nibbles
+    [in/2, in) — the layout ops.int4_matvec unpacks with two half-dots and
+    no lane interleave.  One f32 scale per output row (coarser than the
+    group-64 memory tier; gated by the gate-decision tolerance test).
+    Stacked (L, out, in) weights quantize layerwise the same way."""
+    w32 = w.astype(jnp.float32)
+    din = w32.shape[-1]
+    if din % 2 != 0:
+        return {"weight": w}
+    absmax = jnp.max(jnp.abs(w32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(w32 / scale), -7, 7).astype(jnp.int8)
+    lo = q[..., : din // 2]
+    hi = q[..., din // 2:]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)), jnp.left_shift(hi, 4)
+    ).astype(jnp.int8)
+    return {"w_int4pc": packed, "scale": scale[..., 0]}
+
+
+def dequantize_linear_weight_int4_pc(p: dict, dtype=jnp.float32) -> jax.Array:
+    packed = p["w_int4pc"]
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return (q * p["scale"][..., None]).astype(dtype)
+
+
 def quantize_text_params(text_params: dict, bits: int = 8,
                          free_source: bool = False) -> dict:
     """Quantized decoder loading — the reference's load_8bit / load_4bit
@@ -150,8 +180,32 @@ def quantize_vit_params(vit_params: dict) -> dict:
     return out
 
 
-def quantize_gate_params(cls_net_params: dict) -> dict:
+def quantize_gate_params(cls_net_params: dict, bits: int = 8) -> dict:
     """Quantize every attention/MLP projection of the gate LM
-    (embeddings, norms and the 2-way lm_head stay full precision).  The
-    gate is a small decoder, so this is exactly the int8 text transform."""
-    return quantize_text_params(cls_net_params, bits=8)
+    (embeddings, norms and the 2-way lm_head stay full precision).
+
+    bits=8: the int8 text transform (134 → 160 fps measured).
+    bits=4: per-channel int4 with the column-halved pack consumed by the
+    fused Pallas matvec (ops/int4_matvec.py) — half the gate weight
+    bytes again; decisions gated by the same probability-tolerance test."""
+    if bits == 8:
+        return quantize_text_params(cls_net_params, bits=8)
+    if bits != 4:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    def quant(leaf: dict) -> dict:
+        q = quantize_linear_weight_int4_pc(leaf["weight"])
+        if "bias" in leaf:
+            q["bias"] = leaf["bias"]
+        return q
+
+    out = dict(cls_net_params)
+    layers = dict(out["layers"])
+    for name in ("q", "k", "v", "o"):
+        layers[name] = quant(layers[name])
+    mlp = dict(layers["mlp"])
+    for name in ("gate", "up", "down"):
+        mlp[name] = quant(mlp[name])
+    layers["mlp"] = mlp
+    out["layers"] = layers
+    return out

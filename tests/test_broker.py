@@ -118,3 +118,26 @@ def test_broker_eviction_and_error_isolation(model, rng):
         assert "error" not in ok and ok["frame_idx"] >= 1
     finally:
         broker.shutdown()
+
+
+def test_worker_prewarm_compiles_before_serving(model, rng):
+    """--prewarm runs one synthetic silent tick through server.step at
+    startup so first-tick compilation doesn't land on a client frame."""
+    cfg, tok, m = model
+    worker = ModelWorker(
+        controller_addr="", worker_addr="", model_path="", model_name="tiny",
+        model=m, tokenizer=tok, no_register=True, multistream_capacity=2,
+        kv_mode="paged", num_pages=32, page_size=8, prewarm=True,
+    )
+    try:
+        assert worker.broker.active() == 0  # warm slot removed
+        s = worker.stream_session_start({"gate_threshold": -1.0,
+                                         "max_new_tokens": 3})
+        size = cfg.vision.image_size
+        out = worker.stream_session_frame({
+            "session_id": s["session_id"],
+            "pixels": rng.standard_normal((1, 3, size, size)).tolist(),
+        })
+        assert out["error_code"] == 0 and out["fire"]
+    finally:
+        worker.broker.shutdown()

@@ -81,3 +81,23 @@ def test_model_init_quantized_generates(rng, flag):
         model, video, "describe", tok, max_new_tokens=4
     )
     assert isinstance(out, str)
+
+
+def test_kv_dtype_prefers_compute_dtype_over_scales():
+    """A bf16 tree quantized to int8 carries fp32 SCALE leaves that can
+    precede the bf16 embeddings in tree order — the KV cache / page pool
+    dtype must still resolve to bf16 (an fp32 cache silently doubles KV
+    memory and bandwidth on the quantized serving tier)."""
+    import jax
+
+    from streammind_tpu.config import tiny_text_config
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.streaming.engine import _float_dtype
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    p = lm.init_text_params(jax.random.PRNGKey(0), tiny_text_config(), jnp.bfloat16)
+    q = quantize_text_params(p, bits=8)
+    assert _float_dtype(q) == jnp.bfloat16
+    # an all-fp32 tree still resolves to fp32 (CPU test configs)
+    p32 = lm.init_text_params(jax.random.PRNGKey(0), tiny_text_config(), jnp.float32)
+    assert _float_dtype(p32) == jnp.float32
