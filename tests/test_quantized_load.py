@@ -101,3 +101,23 @@ def test_kv_dtype_prefers_compute_dtype_over_scales():
     # an all-fp32 tree still resolves to fp32 (CPU test configs)
     p32 = lm.init_text_params(jax.random.PRNGKey(0), tiny_text_config(), jnp.float32)
     assert _float_dtype(p32) == jnp.float32
+
+
+def test_model_init_quantized_bf16_generates(rng):
+    """The SERVING dtype: bf16 params + load_8bit.  Pre-r3, _float_dtype
+    picked a quantization scale's fp32 → the decode while_loop carried a
+    bf16 hidden into an fp32 cache and CRASHED with a scan carry-dtype
+    mismatch (observed at full 7B dims on the chip)."""
+    from sp_like_tokenizer import SPLikeTokenizer
+
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jnp.bfloat16, load_8bit=True
+    )
+    assert model.engine.new_kv_cache().k.dtype == jnp.bfloat16
+    video = rng.standard_normal(
+        (2, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    out = streammind_tpu.infer(model, video, "describe", tok, max_new_tokens=4)
+    assert isinstance(out, str)
