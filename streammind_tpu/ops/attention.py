@@ -590,10 +590,19 @@ def attention(
 ):
     """Dispatcher.  'auto' → reference (differentiable) path; 'flash' → Pallas.
 
+    'flash!' is flash with a STRICT fallback policy for this call only —
+    a mesh that cannot divide (B, H) raises at trace time instead of
+    warning and degrading to the O(S²) reference (the training loop uses
+    this so a misfit mesh can't silently tank step time, without mutating
+    the process-global set_flash_fallback_mode policy).
+
     kv_mask and kv_len are interchangeable here: padding in this codebase is
     always right-side contiguous, so a mask converts to a length (flash path)
     and a length to a mask (reference path) without information loss.
     """
+    strict = impl == "flash!"
+    if strict:
+        impl = "flash"
     if impl == "flash":
         if kv_len is None and kv_mask is not None:
             kv_len = jnp.sum(kv_mask, axis=-1).astype(jnp.int32)
@@ -618,10 +627,10 @@ def attention(
                         f"Hkv={hkv}) — the O(S²) jnp reference path is much "
                         f"slower and heavier at long context"
                     )
-                    if _FLASH_FALLBACK_MODE == "error":
+                    if strict or _FLASH_FALLBACK_MODE == "error":
                         raise ValueError(
                             msg + ". Fix the batch/head split or the mesh "
-                            "(training sets set_flash_fallback_mode('error') "
+                            "(training uses impl='flash!' / strict policy "
                             "so this cannot silently tank step time)."
                         )
                     import warnings

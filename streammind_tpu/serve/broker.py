@@ -72,6 +72,10 @@ class BatchedSessionBroker:
                 stream_id, tokenizer, prompt_ids=prompt_ids,
                 max_new_tokens=max_new_tokens, gate_threshold=gate_threshold,
             )
+            # a previous session with this (client-chosen) id may have left
+            # an unclaimed closed-sentinel in _results — without this, the
+            # NEW session's first submit would instantly return closed
+            self._results.pop(stream_id, None)
             self._last_used[stream_id] = time.time()
 
     def _evict_locked(self):

@@ -81,6 +81,11 @@ class StreamMindEngine:
 
             params = dict(params)
             params["vision"] = quantize_vit_params(params["vision"])
+        if quantize_gate not in (False, None, True, "int8", "int4"):
+            raise ValueError(
+                f"quantize_gate must be True/'int8' or 'int4', got "
+                f"{quantize_gate!r}"
+            )
         if quantize_gate and "cls_net" in params.get("projector", {}):
             # weight-only quantization of the per-frame gate LM — it is pure
             # weight bandwidth on the perception hot path (utils/quantize.py).

@@ -432,33 +432,38 @@ class MultiStreamServer:
                   and self.paged.pages_needed(
                       slot.stream_id, shared + slot.max_new_tokens) == 0)
             (rows if ok else odd).append(i)
-        texts: Dict[int, str] = {i: self._cognify_slot(i, spans[i]) for i in odd}
-        if not rows:
-            return texts
+
+        # Batched rows FIRST: an odd turn's capacity guard may pressure-
+        # reset a batched row (reclaiming its reserved pages and re-carrying
+        # its history into pending, which can outgrow the shared bucket) —
+        # running the batch before any sequential guard keeps the
+        # classification above valid when the plans are built.
+        texts: Dict[int, str] = {}
         if len(rows) == 1:
             texts[rows[0]] = self._cognify_slot(rows[0], spans[rows[0]])
-            return texts
-
-        plans = [
-            build_turn_plan(eng, self.slots[i].tokenizer, spans[i],
-                            self.slots[i].pending_ids, pad_to=shared)
-            for i in rows
-        ]
-        memories = [self.state.memory[i : i + 1] for i in rows]
-        limits = [self.slots[i].max_new_tokens for i in rows]
-        tok_lists = self.paged.run_turns(
-            [self.slots[i].stream_id for i in rows], plans, memories,
-            max_new_tokens=limits,
-            stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
-        )
-        for j, i in enumerate(rows):
-            slot = self.slots[i]
-            slot.interval_ids.append(slot.frame_idx)
-            text = self._trim(decode_tokens_to_text(slot.tokenizer, tok_lists[j]))
-            slot.turns.append(text)
-            slot.pending_ids = post_turn_pending(slot.tokenizer)
-            slot.last_fire = min(slot.frame_idx, eng.cfg.max_stream_frames)
-            texts[i] = text
+        elif rows:
+            plans = [
+                build_turn_plan(eng, self.slots[i].tokenizer, spans[i],
+                                self.slots[i].pending_ids, pad_to=shared)
+                for i in rows
+            ]
+            memories = [self.state.memory[i : i + 1] for i in rows]
+            limits = [self.slots[i].max_new_tokens for i in rows]
+            tok_lists = self.paged.run_turns(
+                [self.slots[i].stream_id for i in rows], plans, memories,
+                max_new_tokens=limits,
+                stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
+            )
+            for j, i in enumerate(rows):
+                slot = self.slots[i]
+                slot.interval_ids.append(slot.frame_idx)
+                text = self._trim(decode_tokens_to_text(slot.tokenizer, tok_lists[j]))
+                slot.turns.append(text)
+                slot.pending_ids = post_turn_pending(slot.tokenizer)
+                slot.last_fire = min(slot.frame_idx, eng.cfg.max_stream_frames)
+                texts[i] = text
+        for i in odd:
+            texts[i] = self._cognify_slot(i, spans[i])
         return texts
 
     def _cognify_slot(self, i: int, span: Optional[list] = None) -> str:

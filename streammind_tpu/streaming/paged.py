@@ -184,9 +184,16 @@ def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
     """
     b, s, hkv, d = k_new.shape
     if s == 1:
-        page_idx = jnp.take_along_axis(
-            table, (length // page_size)[:, None], axis=1
-        )[:, 0]                                              # (B,)
+        # Finished rows in a batched decode keep writing at their FROZEN
+        # length each remaining step; when that position sits exactly at
+        # the row's allocated-capacity boundary, the naive lookup reads
+        # table padding (or clamps into the row's own last page) and the
+        # junk write lands in LIVE KV.  Route any out-of-table position to
+        # the reserved write-sink page 0 (never allocated to a dialogue).
+        pos_page = length // page_size
+        idx = jnp.minimum(pos_page, table.shape[1] - 1)
+        page_idx = jnp.take_along_axis(table, idx[:, None], axis=1)[:, 0]
+        page_idx = jnp.where(pos_page < table.shape[1], page_idx, 0)  # (B,)
         offset = length % page_size
         return _write_tokens_dma(
             pool_k, pool_v, k_new[:, 0], v_new[:, 0], page_idx, offset
@@ -321,7 +328,11 @@ class PagedDialogues:
         self.max_pages = max_pages_per_seq or min(
             num_pages, -(-engine.kv_capacity // page_size)
         )
-        self._free: List[int] = list(range(num_pages))
+        # page 0 is the WRITE SINK: never allocated to a dialogue, so both
+        # zero-padded table entries and out-of-range decode writes (a
+        # finished batched row writing at its frozen length) land in
+        # garbage space instead of another dialogue's KV (_write_block)
+        self._free: List[int] = list(range(1, num_pages))
         self.tables: dict = {}   # dialogue id -> list of page ids
         self.lengths: dict = {}  # dialogue id -> int
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))

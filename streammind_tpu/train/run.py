@@ -545,12 +545,12 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         if attn_impl == "auto":
             attn_impl = "flash" if jax.default_backend() == "tpu" else "auto"
         if attn_impl == "flash":
-            # a mesh that can't divide (B, H) would silently fall back to
-            # the O(S²) jnp path and tank every step — make it a trace-time
-            # error under training instead of a per-call warning
-            from ..ops.attention import set_flash_fallback_mode
-
-            set_flash_fallback_mode("error")
+            # strict per-call policy: a mesh that can't divide (B, H) would
+            # silently fall back to the O(S²) jnp path and tank every step —
+            # 'flash!' makes that a trace-time error for TRAINING calls only
+            # (no process-global mutation; serving in the same process keeps
+            # its warn-and-degrade contract)
+            attn_impl = "flash!"
 
         if stage == "cls":
             def loss_fn(p, b, with_tokens=False):

@@ -149,11 +149,20 @@ def quantize_text_params(text_params: dict, bits: int = 8,
         # axis like any linear — _moe_mlp consumes the same {"w_int8"/
         # "w_int4", scale} leaves via utils.params.linear.  The router stays
         # full precision (it is tiny and decides routing).
-        experts = dict(layers["experts"])
+        orig = layers["experts"]  # the INPUT tree's inner dict (shared)
+        experts = {}
         for name in ("gate", "up", "down"):
-            experts[name] = quant({"weight": experts[name]}
-                                  if not isinstance(experts[name], dict)
-                                  else experts[name])
+            src = orig[name]
+            if isinstance(src, dict):
+                experts[name] = quant(src)
+                continue
+            if free_source:
+                # experts are ~90% of a Mixtral's weights: pop the raw bank
+                # out of the input tree BEFORE quantizing so peak HBM is
+                # one bank, not two (mirrors the per-leaf pop above)
+                orig.pop(name)
+            experts[name] = quant({"weight": src})
+            del src
         layers["experts"] = experts
     out["layers"] = layers
     return out

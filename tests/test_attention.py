@@ -198,8 +198,23 @@ def test_flash_sharded_on_mesh_matches_reference(rng):
         rtol=1e-4, atol=1e-5,
     )
 
-    # under training policy the same misfit is a hard trace-time error
-    # (train/run.py sets set_flash_fallback_mode("error") when flash is on)
+    # under training policy the same misfit is a hard trace-time error —
+    # either per-call via impl="flash!" (what train/run.py uses; no
+    # process-global state) or via the global set_flash_fallback_mode
+    with jax.set_mesh(mesh):
+        with pytest.raises(ValueError, match="does not divide"):
+            jax.jit(
+                lambda q, k, v: attention(
+                    q[:3], k[:3], v[:3], causal=True, impl="flash!"
+                )
+            )(q, k, v)
+        # and a DIVISIBLE shape under flash! still works (strict only
+        # changes the misfit policy)
+        ok = jax.jit(
+            lambda q, k, v: attention(q, k, v, causal=True, impl="flash!")
+        )(q, k, v)
+        assert ok.shape == q.shape
+
     from streammind_tpu.ops.attention import set_flash_fallback_mode
 
     set_flash_fallback_mode("error")

@@ -141,3 +141,22 @@ def test_worker_prewarm_compiles_before_serving(model, rng):
         assert out["error_code"] == 0 and out["fire"]
     finally:
         worker.broker.shutdown()
+
+
+def test_session_id_reuse_after_stop(model, rng):
+    """stop() posts a closed sentinel; re-opening a session with the SAME
+    client-chosen id must not serve that stale sentinel to the new
+    session's first frame."""
+    cfg, tok, m = model
+    broker = BatchedSessionBroker(m.engine, capacity=2, max_wait_ms=5.0)
+    try:
+        size = cfg.vision.image_size
+        frame = lambda: np.zeros((1, 3, size, size), np.float32)
+        broker.add("reuse", tok, gate_threshold=2.0)
+        assert not broker.submit("reuse", frame()).get("closed")
+        broker.remove("reuse")  # leaves an unclaimed closed sentinel
+        broker.add("reuse", tok, gate_threshold=2.0)
+        out = broker.submit("reuse", frame())
+        assert not out.get("closed") and out["frame_idx"] == 1, out
+    finally:
+        broker.shutdown()

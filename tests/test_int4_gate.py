@@ -91,3 +91,10 @@ def test_int4_gate_decisions_close_to_fp(rng):
         np.testing.assert_allclose(np.asarray(p_q), np.asarray(p_fp), atol=0.15)
         agree += int(np.argmax(np.asarray(p_q)) == np.argmax(np.asarray(p_fp)))
     assert agree >= 7, agree
+
+
+def test_engine_rejects_unknown_gate_tier():
+    cfg = tiny_streammind_config()
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="quantize_gate"):
+        StreamMindEngine(params, cfg, quantize_gate="int2")

@@ -153,3 +153,15 @@ def test_train_derives_moe_config_from_checkpoint_dir(tmp_path):
     assert cfg.text.num_experts == 4
     assert cfg.text.num_experts_per_tok == 2
     assert cfg.text.hidden_size == 64
+
+
+def test_quantize_free_source_frees_expert_banks(moe_setup):
+    """free_source must pop the raw (L, E, F, D) expert banks out of the
+    INPUT tree as it quantizes — experts are ~90% of a Mixtral's weights,
+    so leaving them referenced defeats the peak-HBM contract."""
+    cfg, _ = moe_setup
+    params = lm.init_text_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    q = quantize_text_params(params, bits=8, free_source=True)
+    assert "gate" not in params["layers"]["experts"]
+    assert "down" not in params["layers"]["experts"]
+    assert "w_int8" in q["layers"]["experts"]["gate"]

@@ -87,7 +87,7 @@ def test_paged_density_many_dialogues(setup, rng):
         assert toks == expect, (did, toks, expect)
     # each dialogue pinned its own pages
     used = sum(len(t) for t in pd.tables.values())
-    assert used + pd.free_pages() == 32
+    assert used + pd.free_pages() == 32 - 1  # page 0 is the reserved write sink
     assert len({p for t in pd.tables.values() for p in t}) == used  # disjoint
 
     # exhaustion: a 7th long turn must raise, and closing dialogues reclaims
@@ -137,3 +137,37 @@ def test_paged_batched_turns_match_sequential(setup, rng):
     seq2 = [pd_seq.run_turn(f"d{i}", plans2[i], memories[i], max_new_tokens=5)
             for i in range(3)]
     assert bat2 == seq2
+
+
+def test_out_of_range_decode_write_goes_to_sink(setup):
+    """A finished batched row keeps writing at its frozen length; when that
+    position is past the row's table (or in zero-padded table entries) the
+    write must land in the reserved sink page 0 — never in another
+    dialogue's (or its own) live KV."""
+    import jax.numpy as jnp
+
+    from streammind_tpu.streaming.paged import PagedDialogues, _write_block
+
+    cfg, params, engine = setup
+    pd = PagedDialogues(engine, num_pages=8, page_size=8)
+    assert 0 not in pd._free  # page 0 reserved at construction
+    pd.open("a")
+    pd.ensure_capacity("a", 16)  # 2 real pages
+    assert 0 not in pd.tables["a"]
+
+    tcfg = engine.cfg.text
+    k_new = jnp.full((1, 1, tcfg.num_kv_heads, tcfg.head_dim), 7.0, jnp.float32)
+    table = jnp.asarray(
+        [pd.tables["a"] + [0] * (pd.max_pages - len(pd.tables["a"]))], jnp.int32
+    )
+    pool_k, pool_v = pd.pool.k[0], pd.pool.v[0]
+
+    for pos in (pd.max_pages * pd.page_size,  # beyond the table entirely
+                2 * pd.page_size):            # in-table but unallocated → padding 0
+        nk, nv = _write_block(
+            pool_k, pool_v, k_new, k_new, table,
+            jnp.asarray([pos], jnp.int32), pd.page_size,
+        )
+        changed = np.where(np.any(np.asarray(nk) != np.asarray(pool_k),
+                                  axis=(0, 2, 3)))[0]
+        assert set(changed.tolist()) <= {0}, (pos, changed)

@@ -89,7 +89,7 @@ def test_multistream_paged_density(model, rng):
             assert out[f"d{s}"], (t, s, out)
     pd = srv.paged
     used = sum(len(t) for t in pd.tables.values())
-    assert used + pd.free_pages() == 48
+    assert used + pd.free_pages() == 48 - 1  # page 0 is the reserved write sink
     assert len({p for t in pd.tables.values() for p in t}) == used  # disjoint
     # every dialogue holds real tokens, bounded by the pool
     assert all(v > 0 for v in pd.lengths.values())
@@ -110,7 +110,7 @@ def test_paged_reset_recarries_turn_text(model):
 
     srv._reset_paged_slot(0, span_len=2)
     assert srv.paged.lengths["x"] == 0 and srv.paged.tables["x"] == []
-    assert srv.paged.free_pages() == 16
+    assert srv.paged.free_pages() == 16 - 1  # page 0 is the write sink
     expect = rebuild_history_pending(
         m.engine, tok, slot.turns, [], 2, 4,
         capacity=srv._paged_slot_capacity(),
@@ -137,13 +137,19 @@ def test_paged_pool_pressure_keeps_serving(model, rng):
         lengths_seen.append(dict(srv.paged.lengths))
     slot_a = next(s for s in srv.slots if s is not None and s.stream_id == "a")
     assert len(slot_a.turns) == 6
-    # pool pressure actually triggered at least one reclaim: some tick's
-    # length is below the previous tick's (growth is monotone otherwise)
+    # pool pressure actually triggered reclaims: without one, every
+    # dialogue's length grows monotonically and is positive after its
+    # turn.  A reset shows up either as a drop between ticks, or as a
+    # ZERO at tick end for a dialogue that just produced a turn (the
+    # other slot's guard victimized it within the same tick).
     dropped = any(
         lengths_seen[t + 1][sid] < lengths_seen[t][sid]
         for t in range(5) for sid in ("a", "b")
     )
-    assert dropped, lengths_seen
+    zeroed = any(
+        lengths_seen[t][sid] == 0 for t in range(6) for sid in ("a", "b")
+    )
+    assert dropped or zeroed, lengths_seen
 
 
 def _free_port():
