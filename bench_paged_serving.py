@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 4
+K = int(__import__("os").environ.get("PAGED_BENCH_K", "4"))
 NUM_PAGES = 256
 PAGE_SIZE = 64
 MAX_NEW = 16
