@@ -165,3 +165,37 @@ def test_quantize_free_source_frees_expert_banks(moe_setup):
     assert "gate" not in params["layers"]["experts"]
     assert "down" not in params["layers"]["experts"]
     assert "w_int8" in q["layers"]["experts"]["gate"]
+
+
+def test_streaming_session_with_mixtral_decoder(rng):
+    """The full event-gated product on a MoE backbone: perceive → gate →
+    Mixtral cognition (decode runs the top-k expert GATHER dispatch), on
+    both the dense session and the paged multistream server."""
+    from streammind_tpu.models.meta import init_streammind_params
+    from streammind_tpu.streaming import StreamMindEngine
+    from streammind_tpu.streaming.engine import StreamSession
+    from streammind_tpu.streaming.multistream import MultiStreamServer
+
+    base = tiny_streammind_config()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, num_experts=4,
+                                       num_experts_per_tok=2)
+    )
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    engine = StreamMindEngine(params, cfg, eos_token_id=2,
+                              prefill_buckets=(32, 64))
+    tok = SPLikeTokenizer()
+    size = cfg.vision.image_size
+    frame = lambda: jnp.asarray(
+        rng.standard_normal((1, 3, size, size)), jnp.float32)
+
+    s = StreamSession(engine, tok, max_new_tokens=4)
+    outs = [s.process_frame(frame(), force_fire=(i == 2)) for i in range(3)]
+    assert outs[2], outs  # the forced fire decoded a Mixtral turn
+
+    srv = MultiStreamServer(engine, capacity=2, kv_mode="paged",
+                            num_pages=32, page_size=8)
+    srv.add_stream("a", tok, gate_threshold=-1.0, max_new_tokens=3)
+    srv.add_stream("b", tok, gate_threshold=-1.0, max_new_tokens=3)
+    out = srv.step({"a": np.asarray(frame()), "b": np.asarray(frame())})
+    assert out["a"] and out["b"], out  # batched paged Mixtral turns
