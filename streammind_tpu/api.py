@@ -181,7 +181,9 @@ def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
 
     pixels = jnp.asarray(np.asarray(video), engine_dtype(model))
     feats = encode_frames(model.params, cfg, pixels)
-    memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
+    # projector-generic (mamba → per-frame tokens; linear/mlp/STC → their
+    # own counts): the plan below sizes the modal span from memory.shape[1]
+    memory = proj_mod.project_memory(model.params["projector"], cfg, feats)
     T = memory.shape[1]
     plan = build_splice_plan(
         input_ids, [T], modal_index,

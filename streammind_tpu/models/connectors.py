@@ -168,7 +168,9 @@ def init_stc_connector(
         dt, dh, dw = downsample
         std = math.sqrt(2.0 / (hid * dt * dh * dw))
         p["sampler"] = {
-            "weight": normal_init(ks[4], (hid, hid, dt, dh, dw), std=std, dtype=dtype),
+            # ks[3] — NOT ks[4], which seeds the second readout layer
+            # (reusing it made sampler and readout[1] correlated draws)
+            "weight": normal_init(ks[3], (hid, hid, dt, dh, dw), std=std, dtype=dtype),
             "bias": zeros((hid,), dtype),
         }
     return p

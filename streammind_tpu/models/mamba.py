@@ -218,8 +218,14 @@ def video_mamba_forward(
     residual = None
     conv_states, ssm_states = [], []
     for i, bp in enumerate(params["blocks"]):
-        residual = hidden if residual is None else hidden + residual
-        normed = layer_norm(residual, bp["norm"]["weight"], bp["norm"]["bias"], cfg.layer_norm_eps)
+        # residual accumulates in fp32 (mamba_ssm create_block
+        # residual_in_fp32=True) — under bf16 params the stream would
+        # otherwise drift from the reference across blocks
+        residual = (hidden.astype(jnp.float32) if residual is None
+                    else hidden.astype(jnp.float32) + residual)
+        normed = layer_norm(
+            residual, bp["norm"]["weight"], bp["norm"]["bias"], cfg.layer_norm_eps
+        ).astype(x.dtype)
         hidden, (cs, ss) = _mixer_forward(
             bp, cfg, normed, impl,
             conv_state0=state.conv[i] if state is not None else None,
@@ -227,13 +233,14 @@ def video_mamba_forward(
         )
         conv_states.append(cs)
         ssm_states.append(ss)
-    residual = hidden + residual if residual is not None else hidden
+    residual = (hidden.astype(jnp.float32) + residual
+                if residual is not None else hidden.astype(jnp.float32))
     out = layer_norm(
         residual,
         params["final_norm"]["weight"],
         params["final_norm"]["bias"],
         cfg.layer_norm_eps,
-    )
+    ).astype(x.dtype)
     new_state = MambaState(
         conv=jnp.stack(conv_states, 0), ssm=jnp.stack(ssm_states, 0)
     )
@@ -251,18 +258,22 @@ def video_mamba_step(
     residual = None
     conv_out, ssm_out = [], []
     for i, bp in enumerate(params["blocks"]):
-        residual = hidden if residual is None else hidden + residual
+        # fp32 residual stream — must match video_mamba_forward exactly
+        # (the stream==scan invariant tests compare the two paths)
+        residual = (hidden.astype(jnp.float32) if residual is None
+                    else hidden.astype(jnp.float32) + residual)
         normed = layer_norm(
             residual[:, None, :], bp["norm"]["weight"], bp["norm"]["bias"], cfg.layer_norm_eps
-        )[:, 0, :]
+        )[:, 0, :].astype(x.dtype)
         hidden, cs, ss = _mixer_step(bp, cfg, normed, state.conv[i], state.ssm[i])
         conv_out.append(cs)
         ssm_out.append(ss)
-    residual = hidden + residual if residual is not None else hidden
+    residual = (hidden.astype(jnp.float32) + residual
+                if residual is not None else hidden.astype(jnp.float32))
     out = layer_norm(
         residual[:, None, :],
         params["final_norm"]["weight"],
         params["final_norm"]["bias"],
         cfg.layer_norm_eps,
-    )[:, 0, :]
+    )[:, 0, :].astype(x.dtype)
     return out, MambaState(conv=jnp.stack(conv_out, 0), ssm=jnp.stack(ssm_out, 0))

@@ -126,6 +126,42 @@ def mamba_project_step(
     return x, state
 
 
+_PROJ_COUNT_MEMO: dict = {}
+
+
+def projected_token_count(cfg: StreamMindConfig, t: int, n_patches: int) -> int:
+    """How many memory tokens one <video> slot expands to.
+
+    Mamba: one per frame (t).  Every other projector type: derived from
+    the projector's OWN output shape via eval_shape of simple_project
+    (exact for conv-downsampling connectors without duplicating their
+    stride arithmetic here).  The splice-plan builders need this number
+    host-side before any device work."""
+    ty = cfg.mm_projector_type
+    if ty == "mamba":
+        return t
+    key = (ty, cfg.mm_hidden_size, cfg.text.hidden_size, t, n_patches)
+    if key not in _PROJ_COUNT_MEMO:
+        feats = jax.ShapeDtypeStruct((1, t, n_patches, cfg.mm_hidden_size), jnp.float32)
+        pshapes = jax.eval_shape(
+            lambda k: init_projector_params(k, cfg), jax.random.PRNGKey(0)
+        )
+        out = jax.eval_shape(lambda p, f: simple_project(p, cfg, f), pshapes, feats)
+        _PROJ_COUNT_MEMO[key] = int(out.shape[1])
+    return _PROJ_COUNT_MEMO[key]
+
+
+def project_memory(params, cfg: StreamMindConfig, frames_features: jax.Array) -> jax.Array:
+    """Projector-generic full-clip projection → (B, M, hidden) memory
+    tokens (M = projected_token_count).  Mamba returns per-frame tokens;
+    the other registry types go through simple_project (the reference's
+    temporal_aggregator dispatch, videollama2_arch.py:286)."""
+    if cfg.mm_projector_type == "mamba":
+        memory, _ = mamba_project(params, cfg, frames_features)
+        return memory
+    return simple_project(params, cfg, frames_features)
+
+
 def simple_project(params, cfg: StreamMindConfig, frames_features: jax.Array) -> jax.Array:
     """linear / mlpNx_gelu / identity projectors over mean-pooled video
     features (reference temporal_aggregator mean-pool branch,

@@ -225,7 +225,7 @@ class ModelWorker:
 
         pixels = jnp.asarray(video, api.engine_dtype(model))
         feats = encode_frames(model.params, cfg, pixels)
-        memory, _ = proj_mod.mamba_project(model.params["projector"], cfg, feats)
+        memory = proj_mod.project_memory(model.params["projector"], cfg, feats)
         T = memory.shape[1]
         plan = build_splice_plan(
             input_ids, [T], modal_index,

@@ -54,8 +54,9 @@ def stage1_llm_loss(
     attn_impl: str = "auto",
     with_tokens: bool = False,
 ) -> jax.Array:
-    """Spliced multimodal LM loss.  Memory tokens come from the Mamba
-    projector over the frame features; the vision tower is frozen upstream
+    """Spliced multimodal LM loss.  Memory tokens come from the configured
+    projector over the frame features (mamba for StreamMind; linear/mlp/
+    STC/STP for the vllava baselines); the vision tower is frozen upstream
     (features are inputs, matching the reference's offline feature shards,
     videollama2_trainer_score.py:474-507).
 
@@ -63,7 +64,10 @@ def stage1_llm_loss(
     accumulation weight: each chunk loss is a token mean, so weighting
     chunks by token count reproduces the global token mean of an unpadded
     combined batch exactly."""
-    memory, _ = proj.mamba_project(params["projector"], cfg, frames_features)
+    # projector-generic (the reference's temporal_aggregator dispatch):
+    # mamba yields per-frame tokens, linear/mlp/STC/STP their own counts —
+    # the batch builders size the splice plan via projected_token_count
+    memory = proj.project_memory(params["projector"], cfg, frames_features)
     embeds = splice_embeds(
         params["text"], plan_token_ids, plan_mem_index, plan_use_mem, memory
     )

@@ -69,9 +69,23 @@ def copy_decoder_layers_into_gate(params, cfg: StreamMindConfig):
     n = params["projector"]["cls_net"]["layers"]["q"]["weight"].shape[0]
 
     def take(src, dst):
-        # jnp.copy: a full-extent slice would alias the source buffer and
-        # break donation (same array donated twice in the train step)
-        return jax.tree.map(lambda s, d: jnp.copy(s[:n]).astype(d.dtype), src, dst)
+        """Copy src leaves into dst's STRUCTURE, leaf by leaf: a backbone
+        whose layer dicts differ from the gate's (Qwen2 carries q/k/v
+        biases the gate lacks; Mixtral/Qwen2 intermediate sizes differ)
+        must transfer what lines up and keep the rest initialized, not
+        crash on a tree mismatch or copy wrong-shaped weights.
+
+        jnp.copy: a full-extent slice would alias the source buffer and
+        break donation (same array donated twice in the train step)."""
+        if isinstance(dst, dict):
+            return {
+                k: (take(src[k], v) if isinstance(src, dict) and k in src else v)
+                for k, v in dst.items()
+            }
+        if not isinstance(src, dict) and src.shape[1:] == dst.shape[1:] \
+                and src.shape[0] >= n:
+            return jnp.copy(src[:n]).astype(dst.dtype)
+        return dst
 
     for name in ("q", "k", "v", "o", "input_norm", "post_norm"):
         gate[name] = take(text[name], gate[name])
@@ -126,6 +140,80 @@ def _encode_video(video: np.ndarray, t_bucket: int, cfg, vision_params):
     return _encode_frames_frozen({"vision": vision_params}, cfg, jnp.asarray(video))
 
 
+def _plan_geometry(sample, cfg, stage: str, frame_bucket=None):
+    """Single source of truth for frame truncation, frame bucket and the
+    splice span sizes — shared by make_sft_batch, make_batch_from_sample
+    and _natural_buckets, whose arithmetic must agree EXACTLY for
+    shared-bucket stacking (previously triplicated by hand).
+
+    Mamba: spans count FRAMES (one memory token per frame); frames pad to
+    a bucket and the plan indexes only the real ones.  Other projector
+    types: each <video> slot expands to M = projected_token_count tokens
+    computed on the (padded) frame bucket the projector will actually
+    consume; the reference trains these with a fixed --num-frames
+    (scripts/vllava), so frame counts should be constant per batch.
+
+    Returns (t, frame_bucket, spans); spans is None for cls rows.
+    """
+    from ..models.projector import projected_token_count
+
+    mamba = cfg.mm_projector_type == "mamba"
+    video = np.asarray(sample["video"])
+    t = min(video.shape[0], FRAME_BUCKETS[-1])
+    fb = frame_bucket or (bucket_length(t, FRAME_BUCKETS) if mamba else t)
+    t = min(t, fb)
+    if stage == "cls":
+        return t, fb, None
+    if "span_frames" in sample and "modal" not in sample:
+        if not mamba:
+            raise ValueError(
+                "multi-turn streaming samples need per-frame memory tokens "
+                f"(mm_projector_type='mamba'); got {cfg.mm_projector_type!r}"
+            )
+        # frame truncation keeps the LAST t frames, so shrink spans from
+        # the FRONT (earliest turns), never below 1 per slot — the slot
+        # count must keep matching the <video> tokens in input_ids
+        spans = list(sample["span_frames"])
+        drop = sum(spans) - t
+        i = 0
+        while drop > 0 and i < len(spans):
+            take = min(spans[i] - 1, drop)
+            spans[i] -= take
+            drop -= take
+            i += 1
+        return t, fb, spans
+    if mamba:
+        return t, fb, [t]
+    n_patches = (video.shape[1] if video.ndim == 3
+                 else (cfg.vision.image_size // cfg.vision.patch_size) ** 2)
+    return t, fb, [projected_token_count(cfg, fb, n_patches)]
+
+
+def _truncate_to_cap(ids, labels, spans):
+    """Right-truncate a sample whose SPLICED length exceeds the largest
+    plan bucket (the reference truncates spliced embeds to
+    tokenizer.model_max_length; previously this raised
+    ValueError('exceeds largest bucket') hours into a run).  Truncation
+    never cuts a modal slot — spans must keep matching the <video> tokens."""
+    cap = PLAN_BUCKETS[-1]
+    n_spliced = len(ids) - len(spans) + sum(spans)
+    if n_spliced <= cap:
+        return ids, labels
+    overflow = n_spliced - cap
+    keep = len(ids) - overflow
+    last_modal = max((i for i, t in enumerate(ids) if t < 0), default=-1)
+    if keep <= last_modal:
+        raise ValueError(
+            f"sample too long to truncate: spliced length {n_spliced} > "
+            f"{cap} and the overflow reaches back into a modal slot"
+        )
+    logger.warning(
+        f"truncating over-long sample: spliced {n_spliced} > cap {cap} "
+        f"({overflow} trailing tokens dropped)"
+    )
+    return ids[:keep], labels[:keep]
+
+
 def make_sft_batch(sample, cfg, vision_params, token_bucket=None, frame_bucket=None):
     """SFT record (data/sft.py) → batch.  Text-only records return a
     token-only batch (no frames key); media records go through the splice.
@@ -136,6 +224,8 @@ def make_sft_batch(sample, cfg, vision_params, token_bucket=None, frame_bucket=N
     ids = list(np.asarray(sample["input_ids"])[0])
     labels = list(np.asarray(sample["labels"])[0])
     if sample.get("modal") is None:
+        if len(ids) > PLAN_BUCKETS[-1]:
+            ids, labels = _truncate_to_cap(ids, labels, [])
         bucket = token_bucket or bucket_length(len(ids), PLAN_BUCKETS)
         pad = bucket - len(ids)
         return {
@@ -146,13 +236,14 @@ def make_sft_batch(sample, cfg, vision_params, token_bucket=None, frame_bucket=N
         }
     modal_index = MMODAL_TOKEN_INDEX[sample["modal"]]
     video = np.asarray(sample["video"], np.float32)
-    t = min(video.shape[0], FRAME_BUCKETS[-1])
-    t_bucket = frame_bucket or bucket_length(t, FRAME_BUCKETS)
-    video = video[-min(t, t_bucket):]
-    t = min(t, t_bucket)
+    t, t_bucket, spans = _plan_geometry(sample, cfg, "llm", frame_bucket)
+    video = video[-t:] if video.shape[0] > t else video
     feats = _encode_video(video, t_bucket, cfg, vision_params)
-    bucket = token_bucket or bucket_length(len(ids) - 1 + t, PLAN_BUCKETS)
-    plan = build_splice_plan(ids, [t], modal_index, bucket, labels=labels)
+    ids, labels = _truncate_to_cap(ids, labels, spans)
+    bucket = token_bucket or bucket_length(
+        len(ids) - len(spans) + sum(spans), PLAN_BUCKETS
+    )
+    plan = build_splice_plan(ids, spans, modal_index, bucket, labels=labels)
     return {
         "kind": "media",
         "frames": feats,
@@ -175,10 +266,7 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str,
     indexed consecutively over the frame sequence.
     """
     video = np.asarray(sample["video"], np.float32)
-    t = min(video.shape[0], FRAME_BUCKETS[-1])
-    t_bucket = frame_bucket or bucket_length(t, FRAME_BUCKETS)
-    if t > t_bucket:
-        t = t_bucket
+    t, t_bucket, spans = _plan_geometry(sample, cfg, stage, frame_bucket)
     video = video[-t:] if video.shape[0] > t else video
     feats = _encode_video(video, t_bucket, cfg, vision_params)
 
@@ -195,24 +283,8 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str,
 
     ids = list(np.asarray(sample["input_ids"])[0])
     labels = list(np.asarray(sample["labels"])[0])
-    if "span_frames" in sample:
-        # multi-turn: frame truncation keeps the LAST t frames, so shrink
-        # spans from the FRONT (earliest turns), never below 1 per slot —
-        # the slot count must keep matching the <video> tokens in input_ids,
-        # and later (supervised) turns stay aligned to the retained frames
-        spans = list(sample["span_frames"])
-        drop = sum(spans) - t
-        i = 0
-        while drop > 0 and i < len(spans):
-            take = min(spans[i] - 1, drop)
-            spans[i] -= take
-            drop -= take
-            i += 1
-        n_slots = len(spans)
-    else:
-        spans = [t]
-        n_slots = 1
-    n_spliced = len(ids) - n_slots + sum(spans)
+    ids, labels = _truncate_to_cap(ids, labels, spans)
+    n_spliced = len(ids) - len(spans) + sum(spans)
     bucket = token_bucket or bucket_length(n_spliced, PLAN_BUCKETS)
     plan = build_splice_plan(ids, spans, VIDEO_TOKEN_INDEX, bucket, labels=labels)
     return {
@@ -225,27 +297,26 @@ def make_batch_from_sample(sample, cfg, vision_params, stage: str,
     }
 
 
-def _natural_buckets(sample, stage: str):
+def _natural_buckets(sample, cfg, stage: str):
     """(frame_bucket, token_bucket) this sample needs — host metadata only,
     no device work.  Used to pick shared buckets for a stacked microbatch.
-    The clamped frame count t never exceeds the natural frame bucket, so a
-    LARGER shared frame bucket cannot change the token bucket."""
+    Delegates the truncation/span arithmetic to _plan_geometry so it can
+    never desynchronize from the batch builders.  For mamba, the clamped
+    frame count never exceeds the natural frame bucket, so a LARGER shared
+    frame bucket cannot change the token bucket; non-mamba microbatches
+    must share one frame count (make_microbatch enforces it)."""
+    cap = PLAN_BUCKETS[-1]
     if "modal" in sample and sample.get("modal") is None:
         ids_len = int(np.asarray(sample["input_ids"]).shape[-1])
-        return 0, bucket_length(ids_len, PLAN_BUCKETS)
-    t = min(int(np.asarray(sample["video"]).shape[0]), FRAME_BUCKETS[-1])
-    fb = bucket_length(t, FRAME_BUCKETS)
-    t = min(t, fb)
+        return 0, bucket_length(min(ids_len, cap), PLAN_BUCKETS)
+    t, fb, spans = _plan_geometry(sample, cfg, stage)
     if stage == "cls":
         return fb, 0
     ids_len = int(np.asarray(sample["input_ids"]).shape[-1])
-    if "span_frames" in sample and "modal" not in sample:
-        spans = list(sample["span_frames"])
-        n_slots = len(spans)
-        total = max(min(sum(spans), t), n_slots)  # clamp floor: ≥1 per slot
-    else:
-        n_slots, total = 1, t
-    return fb, bucket_length(ids_len - n_slots + total, PLAN_BUCKETS)
+    # min(cap): over-long samples are right-truncated by the builders
+    # (_truncate_to_cap), so the metadata pass must saturate the same way
+    return fb, bucket_length(min(ids_len - len(spans) + sum(spans), cap),
+                             PLAN_BUCKETS)
 
 
 def make_microbatch(samples, cfg, vision_params, stage: str, pad_to: int = 0):
@@ -261,7 +332,16 @@ def make_microbatch(samples, cfg, vision_params, stage: str, pad_to: int = 0):
     n_real = len(samples)
     if pad_to > n_real:
         samples = list(samples) + [samples[0]] * (pad_to - n_real)
-    metas = [_natural_buckets(s, stage) for s in samples]
+    metas = [_natural_buckets(s, cfg, stage) for s in samples]
+    if cfg.mm_projector_type != "mamba":
+        fbs = {m[0] for m in metas if m[0]}
+        if len(fbs) > 1:
+            raise ValueError(
+                f"mm_projector_type={cfg.mm_projector_type!r} needs a fixed "
+                f"frame count per batch (its memory-token count depends on "
+                f"the frame axis it convolves/pools over; the reference "
+                f"samples a fixed --num-frames) — got {sorted(fbs)}"
+            )
     fb = max(m[0] for m in metas) or None
     tb = max(m[1] for m in metas) or None
     rows, kind = [], "cls" if stage == "cls" else "media"
@@ -310,6 +390,12 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
             )
         else:
             cfg = StreamMindConfig(mm_projector_type=model_args.mm_projector_type)
+    if stage == "cls" and cfg.mm_projector_type != "mamba":
+        raise ValueError(
+            "gate (stage-2) training requires mm_projector_type='mamba' — "
+            "the 2-way gate LM lives inside the mamba projector (cls_net, "
+            f"reference builder.py:390-401); got {cfg.mm_projector_type!r}"
+        )
     dtype = jnp.bfloat16 if training_args.bf16 else jnp.float32
     if model_args.model_path and os.path.isdir(model_args.model_path):
         from ..utils.convert import convert_streammind_checkpoint

@@ -36,9 +36,16 @@ def load_state_dict(path: str) -> Dict[str, "np.ndarray"]:
     """Load one or many checkpoint shards (bin/safetensors) into numpy."""
     sd = {}
     files = []
+    # non-weight artifacts the HF Trainer writes next to the shards —
+    # training_args.bin in particular is a pickled TrainingArguments that
+    # torch.load(weights_only=True) refuses (and would corrupt the dict
+    # otherwise)
+    skip_prefixes = ("training_args", "optimizer", "scheduler",
+                     "rng_state", "trainer_state", "scaler")
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
-            if f.endswith((".bin", ".safetensors")) and "arguments" not in f:
+            if (f.endswith((".bin", ".safetensors"))
+                    and not f.startswith(skip_prefixes)):
                 files.append(os.path.join(path, f))
     else:
         files = [path]
@@ -305,6 +312,60 @@ def convert_projector(sd: Dict, cfg: StreamMindConfig, dtype=jnp.float32) -> Dic
     return out
 
 
+def convert_simple_projector(sd: Dict, cfg: StreamMindConfig,
+                             dtype=jnp.float32) -> Dict:
+    """linear / mlpNx_gelu projector state dicts (reference
+    build_vision_projector, builder.py:119-132): a bare nn.Linear
+    ({weight,bias}) or an nn.Sequential with GELU gaps ({0,2,4,...}.*)."""
+    t = cfg.mm_projector_type
+    g = lambda k: jnp.asarray(sd[k], dtype)
+    if t == "linear":
+        return {"proj": {"weight": g("weight"), "bias": g("bias")}}
+    m = re.match(r"^mlp(\d+)x_gelu$", t)
+    if m:
+        depth = int(m.group(1))
+        return {"mlp": [
+            {"weight": g(f"{2 * i}.weight"), "bias": g(f"{2 * i}.bias")}
+            for i in range(depth)
+        ]}
+    raise ValueError(f"not a simple projector type: {t!r}")
+
+
+def convert_projector_dispatch(sd: Dict, cfg: StreamMindConfig,
+                               dtype=jnp.float32) -> Dict:
+    """Route mm_projector keys to the right converter by
+    cfg.mm_projector_type (the reference instantiates the module from the
+    same config field, builder.py:119-158).  Previously every projector
+    went to the mamba converter and non-mamba checkpoints crashed on its
+    key lookups."""
+    t = cfg.mm_projector_type
+    if t == "mamba":
+        return convert_projector(sd, cfg, dtype)
+    for candidate in ("model.mm_projector.", "mm_projector.", ""):
+        if candidate == "" or any(k.startswith(candidate) for k in sd):
+            psd = _strip(sd, candidate) if candidate else dict(sd)
+            break
+    if t in ("stc_connector", "stp_connector", "stc_connector_v35"):
+        variant = {"stc_connector": "stc", "stp_connector": "stp",
+                   "stc_connector_v35": "stc_v35"}[t]
+        out = convert_stc_connector(psd, variant=variant, dtype=dtype)
+        # the reference embeds its gate inside the connector module; our
+        # tree keeps it as projector["cls_net"]
+        cls_sd = _strip(psd, "cls_net.cls_model.")
+        if cls_sd:
+            out["cls_net"] = convert_hf_text(cls_sd, cfg.gate, dtype)
+        return out
+    if t == "identity":
+        return {}
+    if t in ("linear",) or re.match(r"^mlp(\d+)x_gelu$", t):
+        return convert_simple_projector(psd, cfg, dtype)
+    raise NotImplementedError(
+        f"no converter for mm_projector_type={t!r} checkpoints (the "
+        f"spatial_conv/spatial_pool torch layouts are untested here); "
+        f"train from scratch or use one of mamba/linear/mlpNx_gelu/stc/stp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LoRA merge
 # ---------------------------------------------------------------------------
@@ -331,19 +392,69 @@ def merge_lora(sd: Dict, lora_sd: Dict, scaling: Optional[float] = None,
     return out
 
 
+def _strip_lora_prefixes(sd: Dict) -> Dict:
+    """The reference's non_lora_trainables prefix handling
+    (model/builder.py:98-102): drop 'base_model.' and a doubled 'model.'."""
+    out = {(k[len("base_model."):] if k.startswith("base_model.") else k): v
+           for k, v in sd.items()}
+    if any(k.startswith("model.model.") for k in out):
+        out = {(k[len("model."):] if k.startswith("model.") else k): v
+               for k, v in out.items()}
+    return out
+
+
 def convert_streammind_checkpoint(
     model_path: str,
     cfg: StreamMindConfig,
     dtype=jnp.float32,
     vision_path: Optional[str] = None,
+    base_path: Optional[str] = None,
 ) -> Dict:
     """Assemble a full param tree from a checkpoint directory.
 
-    Full-SFT layout: one state dict holding model.* (decoder),
-    model.mm_projector.*, and optionally model.vision_tower.*; vision can
-    also come from a separate CLIP checkpoint dir (vision_path).
+    Covers the reference checkpoint zoo (model/builder.py:30-210):
+      - full SFT: one state dict holding model.* (decoder),
+        model.mm_projector.*, and optionally model.vision_tower.*; vision
+        can also come from a separate CLIP checkpoint dir (vision_path);
+      - base + mm_projector.bin: point model_path at the adapter dir (the
+        projector keys keep their model.mm_projector. prefix) and
+        base_path at the base decoder dir;
+      - LoRA (builder.py:60-109): model_path holds adapter_model.bin
+        (+ adapter_config.json for r/alpha) and non_lora_trainables.bin;
+        base_path holds the base decoder.  The lora_A/B pairs are merged
+        into the base weights and the non-LoRA trainables overlaid before
+        conversion.
     """
-    sd = load_state_dict(model_path)
+    adapter_file = None
+    if os.path.isdir(model_path):
+        for f in ("adapter_model.bin", "adapter_model.safetensors"):
+            p = os.path.join(model_path, f)
+            if os.path.exists(p):
+                adapter_file = p
+                break
+
+    if adapter_file is not None:
+        sd = load_state_dict(base_path) if base_path else {}
+        scaling = None
+        acfg = os.path.join(model_path, "adapter_config.json")
+        if os.path.exists(acfg):
+            import json as _json
+
+            with open(acfg) as f:
+                a = _json.load(f)
+            if a.get("r"):
+                scaling = float(a.get("lora_alpha", a["r"])) / float(a["r"])
+        sd = merge_lora(sd, load_state_dict(adapter_file), scaling=scaling)
+        nlt = os.path.join(model_path, "non_lora_trainables.bin")
+        if os.path.exists(nlt):
+            sd.update(_strip_lora_prefixes(load_state_dict(nlt)))
+    else:
+        sd = load_state_dict(model_path)
+        if base_path:
+            base_sd = load_state_dict(base_path)
+            base_sd.update(sd)  # adapter keys win over the base
+            sd = base_sd
+
     params = {}
     text_sd = {
         k: v
@@ -354,7 +465,7 @@ def convert_streammind_checkpoint(
     if text_sd:
         params["text"] = convert_hf_text(text_sd, cfg.text, dtype)
     if any(k.startswith("model.mm_projector") or k.startswith("pre_net") for k in sd):
-        params["projector"] = convert_projector(sd, cfg, dtype)
+        params["projector"] = convert_projector_dispatch(sd, cfg, dtype)
     vision_sd = _strip(sd, "model.vision_tower.vision_tower.")
     if vision_sd:
         params["vision"] = convert_clip_vision(vision_sd, cfg.vision, dtype)

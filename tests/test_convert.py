@@ -268,3 +268,130 @@ def test_stc_connector_timm_weight_interop():
     params = convert_stc_connector(_sd_numpy(model), depth=depth, mlp_depth=2)
     ours = stc_forward(jnp.asarray(x), params, variant="stc")
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_load_state_dict_skips_trainer_artifacts(tmp_path):
+    """HF Trainer writes training_args.bin (a pickled object) next to the
+    weight shards — it must be filtered out, not torch.load'ed as weights."""
+    import torch
+
+    torch.save({"w": torch.ones(2, 2)}, tmp_path / "pytorch_model.bin")
+    # a non-tensor pickle exactly like the Trainer's artifact
+    torch.save({"not": "weights"}, tmp_path / "training_args.bin")
+    from streammind_tpu.utils.convert import load_state_dict
+
+    sd = load_state_dict(str(tmp_path))
+    assert set(sd) == {"w"}
+
+
+def test_convert_lora_checkpoint_layout(tmp_path, rng):
+    """The reference LoRA zoo entry (model/builder.py:60-109): base dir +
+    adapter_model.bin (+config) + non_lora_trainables.bin.  The merged
+    tree must equal base + scaling * B@A on the adapted weight, with the
+    projector overlaid from non_lora_trainables."""
+    import json as _json
+
+    import torch
+
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.utils.convert import convert_streammind_checkpoint
+    from streammind_tpu.utils.manifest import mistral_lm_manifest, projector_manifest
+
+    cfg = tiny_streammind_config()
+    t = cfg.text
+    base_dir = tmp_path / "base"
+    lora_dir = tmp_path / "lora"
+    base_dir.mkdir()
+    lora_dir.mkdir()
+
+    base_manifest = mistral_lm_manifest(
+        hidden_size=t.hidden_size, intermediate_size=t.intermediate_size,
+        num_layers=t.num_layers, num_heads=t.num_heads,
+        num_kv_heads=t.num_kv_heads, vocab_size=t.vocab_size,
+        head_dim=t.head_dim,
+    )
+    base_sd = {k: torch.from_numpy(
+        rng.standard_normal(shape).astype(np.float32))
+        for k, shape in base_manifest.items()}
+    torch.save(base_sd, base_dir / "pytorch_model.bin")
+
+    r, alpha = 4, 8
+    qw = "model.layers.0.self_attn.q_proj"
+    A = rng.standard_normal((r, t.hidden_size)).astype(np.float32)
+    B = rng.standard_normal(
+        (t.num_heads * t.head_dim, r)).astype(np.float32)
+    torch.save(
+        {f"base_model.model.{qw}.lora_A.weight": torch.from_numpy(A),
+         f"base_model.model.{qw}.lora_B.weight": torch.from_numpy(B)},
+        lora_dir / "adapter_model.bin")
+    with open(lora_dir / "adapter_config.json", "w") as f:
+        _json.dump({"r": r, "lora_alpha": alpha}, f)
+
+    pm = projector_manifest(
+        mm_hidden_size=cfg.mm_hidden_size, hidden_size=t.hidden_size,
+        n_ssm=cfg.mamba.n_layers, d_state=cfg.mamba.d_state,
+        d_conv=cfg.mamba.d_conv, expand=cfg.mamba.expand,
+        gate_layers=cfg.gate.num_layers, gate_vocab=cfg.gate.vocab_size,
+        gate_hidden=cfg.gate.hidden_size,
+        gate_intermediate=cfg.gate.intermediate_size,
+        gate_heads=cfg.gate.num_heads, gate_kv_heads=cfg.gate.num_kv_heads,
+    )
+    nlt = {f"base_model.model.model.mm_projector.{k}": torch.from_numpy(
+        rng.standard_normal(shape).astype(np.float32))
+        for k, shape in pm.items()}
+    torch.save(nlt, lora_dir / "non_lora_trainables.bin")
+
+    params = convert_streammind_checkpoint(
+        str(lora_dir), cfg, base_path=str(base_dir))
+    assert "text" in params and "projector" in params
+
+    expect = (np.asarray(base_sd[qw + ".weight"])
+              + (alpha / r) * (B @ A))
+    got = np.asarray(params["text"]["layers"]["q"]["weight"][0])
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+    # a non-adapted layer stays at base values
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["layers"]["q"]["weight"][1]),
+        np.asarray(base_sd["model.layers.1.self_attn.q_proj.weight"]),
+        rtol=1e-6, atol=1e-6)
+    # projector overlaid from non_lora_trainables
+    np.testing.assert_allclose(
+        np.asarray(params["projector"]["pre_net"]["weight"]),
+        np.asarray(nlt["base_model.model.model.mm_projector.pre_net.fc3.weight"]),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_convert_simple_and_stc_projector_dispatch(tmp_path, rng):
+    """Non-mamba projector checkpoints route to the right converter
+    instead of crashing in the mamba key lookups."""
+    import dataclasses as _dc
+
+    import torch
+
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.utils.convert import convert_streammind_checkpoint
+
+    base = tiny_streammind_config()
+    for ptype, keys in (
+        ("linear", {"weight": (base.text.hidden_size, base.mm_hidden_size),
+                    "bias": (base.text.hidden_size,)}),
+        ("mlp2x_gelu", {
+            "0.weight": (base.text.hidden_size, base.mm_hidden_size),
+            "0.bias": (base.text.hidden_size,),
+            "2.weight": (base.text.hidden_size, base.text.hidden_size),
+            "2.bias": (base.text.hidden_size,),
+        }),
+    ):
+        cfg = _dc.replace(base, mm_projector_type=ptype)
+        d = tmp_path / ptype
+        d.mkdir()
+        sd = {f"model.mm_projector.{k}": torch.from_numpy(
+            rng.standard_normal(s).astype(np.float32)) for k, s in keys.items()}
+        torch.save(sd, d / "mm_projector.bin")
+        params = convert_streammind_checkpoint(str(d), cfg)
+        proj = params["projector"]
+        if ptype == "linear":
+            assert proj["proj"]["weight"].shape == keys["weight"]
+        else:
+            assert len(proj["mlp"]) == 2
+            assert proj["mlp"][1]["bias"].shape == keys["2.bias"]

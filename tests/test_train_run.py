@@ -339,3 +339,86 @@ def test_train_qlora_int8_base(tmp_path, cfg):
     # LoRA B started at 0 and must have moved
     assert float(np.abs(np.asarray(
         state.params["lora"]["layers"]["q"]["B"])).sum()) > 0
+
+
+@pytest.mark.parametrize("ptype", ["stc_connector", "linear", "mlp2x_gelu"])
+def test_train_sft_non_mamba_projectors(tmp_path, ptype):
+    """The shipped vllava configs train non-mamba projectors
+    (scripts/vllava/stc, reference scripts/vllava/*): the SFT loop must
+    run them end-to-end, with splice spans sized from the projector's OWN
+    output token count (projected_token_count), not per-frame."""
+    import dataclasses
+    import json as _json
+
+    base = tiny_streammind_config()
+    cfg = dataclasses.replace(base, mm_projector_type=ptype)
+    tok = SPLikeTokenizer()
+    records = [
+        {"id": "m", "video": "a.mp4", "conversations": [
+            {"from": "human", "value": "<video>\ndescribe"},
+            {"from": "gpt", "value": "things happen"}]},
+        {"id": "t", "conversations": [
+            {"from": "human", "value": "hello there"},
+            {"from": "gpt", "value": "hi friend"}]},
+    ]
+    jpath = tmp_path / "sft.json"
+    jpath.write_text(_json.dumps(records))
+
+    from streammind_tpu.data.sft import VideoLLaVASFTDataset
+
+    def fake_loader(path, is_video):
+        rng2 = np.random.default_rng(1)
+        n = 4 if is_video else 1
+        return rng2.standard_normal(
+            (n, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ).astype(np.float32)
+
+    ds = VideoLLaVASFTDataset(str(jpath), str(tmp_path), tok,
+                              frame_loader=fake_loader)
+    ma = ModelArguments(mm_projector_type=ptype, train_skip_cls=False)
+    da = DataArguments(dataset="sft", score_dataset_train_llm=True)
+    ta = TrainingArguments(
+        output_dir=str(tmp_path / "out"), learning_rate=1e-3, bf16=False,
+        save_steps=10, logging_steps=1, max_steps=2, resume=False,
+    )
+    state = train(ma, da, ta, dataset=ds, cfg=cfg)
+    assert int(state.step) == 2
+    log = os.path.join(str(tmp_path / "out"), "logs", "metrics.jsonl")
+    losses = [json.loads(l)["train/loss"] for l in open(log)]
+    assert losses and all(np.isfinite(losses)), losses
+
+
+def test_stage2_rejects_non_mamba(tmp_path, cfg):
+    import dataclasses
+
+    tok = SPLikeTokenizer()
+    ds = FakeScoreDataset(tok, cfg)
+    ma, da, ta = _args(tmp_path, "cls")
+    bad = dataclasses.replace(cfg, mm_projector_type="linear")
+    with pytest.raises(ValueError, match="mamba"):
+        train(ma, da, ta, dataset=ds, cfg=bad)
+
+
+def test_overlong_sample_truncates_not_crashes(tmp_path, cfg):
+    """A sample whose spliced length exceeds the largest plan bucket is
+    right-truncated (reference: model_max_length truncation) instead of
+    raising 'exceeds largest bucket' mid-run."""
+    from streammind_tpu.train.run import PLAN_BUCKETS, make_batch_from_sample
+
+    tok = SPLikeTokenizer()
+    s = build_score_sample("a goal", "v.mkv", 1, 100, tok)
+    rng2 = np.random.default_rng(0)
+    s["video"] = rng2.standard_normal(
+        (3, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    ids = list(np.asarray(s["input_ids"])[0])
+    # inflate the ANSWER tail past the largest bucket (truncation is
+    # right-side, like the reference's model_max_length cut; overflow
+    # reaching back into the modal slot is a separate hard error)
+    ids = ids + [7] * (PLAN_BUCKETS[-1] + 50)
+    labels = [-100] * len(ids)
+    s["input_ids"] = np.asarray(ids)[None]
+    s["labels"] = np.asarray(labels)[None]
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch_from_sample(s, cfg, params["vision"], "llm")
+    assert batch["token_ids"].shape[1] == PLAN_BUCKETS[-1]
