@@ -9,7 +9,11 @@ from typing import Dict, List, Sequence
 
 
 def split_list(lst: Sequence, n: int) -> List[List]:
-    """Split into n roughly equal chunks (ceil-sized; last may be short)."""
+    """Split into n roughly equal chunks (ceil-sized; last may be short).
+    An empty worklist yields no chunks (ceil gives chunk size 0, which
+    would make range()'s step zero and raise an opaque ValueError)."""
+    if not lst:
+        return []
     chunk = math.ceil(len(lst) / n)
     return [list(lst[i : i + chunk]) for i in range(0, len(lst), chunk)]
 

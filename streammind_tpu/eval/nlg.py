@@ -127,13 +127,16 @@ def cider(references: Dict, hypotheses: Dict, max_n: int = 4, sigma: float = 6.0
     scores = []
     for key in references:
         hyp_tokens = hypotheses[key][0].split()
+        # hypothesis tf-idf depends only on (key, n) — hoist it out of the
+        # per-reference loop (it was rebuilt nrefs times per n)
+        hyp_vecs = [tfidf_vec(hyp_tokens, n) for n in range(max_n)]
         score_n = [0.0] * max_n
         for ref in references[key]:
             ref_tokens = ref.split()
             delta = len(hyp_tokens) - len(ref_tokens)
             gauss = math.exp(-(delta**2) / (2 * sigma**2))
             for n in range(max_n):
-                hv, hnorm, _ = tfidf_vec(hyp_tokens, n)
+                hv, hnorm, _ = hyp_vecs[n]
                 rv, rnorm, _ = tfidf_vec(ref_tokens, n)
                 dot = sum(min(hv[ng], rv.get(ng, 0.0)) * rv.get(ng, 0.0) for ng in hv)
                 if hnorm and rnorm:

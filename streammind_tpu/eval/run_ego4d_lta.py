@@ -12,6 +12,7 @@ to use K sampled decodes instead.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import re
 from typing import Dict, List, Sequence, Tuple
@@ -119,8 +120,16 @@ def main():
 
     preds, gvs, gns = [], [], []
     for clip in clips:
-        video = processor(clip["clip"] if "/" in clip["clip"]
-                          else f"{args.video_root}/{clip['clip']}")
+        # os.path.isabs, not '/'-in-string: a relative subdirectory path
+        # like 'scenarios/clip.mp4' must still join --video-root
+        path = (clip["clip"] if os.path.isabs(clip["clip"])
+                else os.path.join(args.video_root, clip["clip"]))
+        try:
+            video = processor(path)
+        except Exception as e:  # noqa: BLE001 — one bad clip must not
+            # abort the whole evaluation (run_mcqa/run_oqa parity)
+            print(f"[lta] skipping {clip.get('clip')}: {e}")
+            continue
         prompt = clip.get(
             "prompt",
             "Predict the next 20 future actions as 'verb noun' steps separated by commas.",

@@ -54,9 +54,17 @@ def stream_video_fire_times(
         ids = np.arange(0, duration - 1, seg, dtype=int)
 
         def frames_iter():
-            for fid in ids:
-                raw = read_video_frames(video_path, [fid])
-                yield fid / fps, clip_preprocess(frames_to_pil(raw))
+            # CHUNKED reads: read_video_frames re-opens the container per
+            # call (and the imageio fallback decodes from frame 0 each
+            # time), so per-frame calls were O(N²) in decoded frames over
+            # a long video.  64 sampled ids per open bounds memory while
+            # amortizing the open/seek.
+            chunk = 64
+            for c in range(0, len(ids), chunk):
+                batch_ids = [int(i) for i in ids[c : c + chunk]]
+                raw = read_video_frames(video_path, batch_ids)
+                for j, fid in enumerate(batch_ids):
+                    yield fid / fps, clip_preprocess(frames_to_pil(raw[j : j + 1]))
     else:
         frames_iter = lambda: frame_loader(video_path, cur_fps)  # noqa: E731
 

@@ -111,7 +111,17 @@ def run_inference(model, tokenizer, records: List[Dict], benchmark: str,
         try:
             video = processor(video_path, num_frames=num_frames)
         except Exception as e:  # noqa: BLE001
-            yield {**rec, "pred": "", "gt": gt, "error": str(e)}
+            # SAME schema as success rows (question_id/task_type), so
+            # failures stay visible to the per-task accuracy filter instead
+            # of silently vanishing from by_task while counting in overall
+            yield {
+                "question_id": rec.get("question_id", rec.get(vkey)),
+                "task_type": rec.get(tkey) if tkey else None,
+                "pred": "",
+                "gt": gt,
+                "response": "",
+                "error": str(e),
+            }
             continue
         question = format_mcqa_question(rec[qkey], options)
         if subtitle_root:

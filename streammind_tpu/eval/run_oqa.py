@@ -27,12 +27,20 @@ def load_questions(path: str) -> List[Dict]:
         data = data.get("questions") or data.get("annotations") or list(data.values())
     out = []
     for i, rec in enumerate(data):
-        out.append({
+        row = {
             "id": rec.get("question_id", rec.get("id", i)),
             "video": rec.get("video_name") or rec.get("video") or rec.get("video_id"),
-            "question": rec.get("question") or rec.get("Q") or rec.get("caption_question", ""),
+            "question": rec.get("question") or rec.get("Q") or rec.get("question_1")
+                        or rec.get("caption_question", ""),
             "answer": rec.get("answer") or rec.get("A") or "",
-        })
+        }
+        # consistency protocol: a PAIRED second question per record
+        # (reference inference_video_oqa_vcgpt_consistency.py); carried so
+        # the judge can compare pred vs pred2
+        q2 = rec.get("question2") or rec.get("Q2") or rec.get("question_2")
+        if q2:
+            row["question2"] = q2
+        out.append(row)
     return out
 
 
@@ -48,14 +56,21 @@ def run_inference(args):
             video_path = os.path.join(args.video_root, str(q["video"]))
             if not os.path.splitext(video_path)[1]:
                 video_path += ".mp4"
+            pred2 = None
             try:
                 video = processor(video_path)
                 pred = x_infer(video, q["question"], model, tokenizer,
                                mode=mode, version=version)
+                if q.get("question2"):
+                    pred2 = x_infer(video, q["question2"], model, tokenizer,
+                                    mode=mode, version=version)
             except Exception as e:  # noqa: BLE001
                 pred = ""
                 q["error"] = str(e)
-            out.write(json.dumps({**q, "pred": pred}) + "\n")
+            row = {**q, "pred": pred}
+            if pred2 is not None:
+                row["pred2"] = pred2
+            out.write(json.dumps(row) + "\n")
     print(f"wrote {args.answer_file}")
 
 
@@ -91,7 +106,8 @@ def main():
     parser.add_argument("--judge-only", action="store_true")
     parser.add_argument("--judge-dim", default="generic",
                         choices=["generic", "correctness", "detail", "context",
-                                 "temporal", "consistency"])
+                                 "temporal", "consistency",
+                                 "msvc_correctness", "msvc_detailedness"])
     parser.add_argument("--judge-dir", default="judge_out")
     args = parser.parse_args()
     if args.judge_only:

@@ -639,9 +639,20 @@ def attention(
                     impl = "auto"  # shared reference branch below
             if impl == "flash":
                 return flash_mha(q, k, v, kv_len, causal)
+            # impl was downgraded to "auto" by the mesh-misfit fallback:
+            # fall THROUGH to the jnp reference tail.  (Previously this
+            # path hit an unconditional `return flash_attention(...)` —
+            # the unsharded, non-differentiable kernel the warning claimed
+            # to be avoiding: grads raised and the mesh mis-sharded.)
         else:
             return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
-        return flash_attention(q, k, v, causal=causal, kv_len=kv_len, q_offset=q_offset)
+    # kv_len → right-padded mask for the jnp paths (BEFORE the bf16 branch,
+    # which previously honored only kv_mask and silently attended to pad
+    # keys when callers passed kv_len)
+    if kv_mask is None and kv_len is not None:
+        sk = k.shape[1]
+        kv_len_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (k.shape[0],))
+        kv_mask = jnp.arange(sk)[None, :] < kv_len_arr[:, None]
     if impl == "bf16":
         # serve-path fast mode: softmax in the input dtype (bf16) — ~20%
         # faster ViT blocks on v5e; ~2% feature error vs fp32 softmax.
@@ -658,8 +669,4 @@ def attention(
             s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)
-    if kv_mask is None and kv_len is not None:
-        sk = k.shape[1]
-        kv_len_arr = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (k.shape[0],))
-        kv_mask = jnp.arange(sk)[None, :] < kv_len_arr[:, None]
     return mha_reference(q, k, v, causal=causal, kv_mask=kv_mask, q_offset=q_offset)

@@ -228,3 +228,45 @@ def test_flash_sharded_on_mesh_matches_reference(rng):
                 )(q, k, v)
     finally:
         set_flash_fallback_mode("warn")
+
+
+def test_mesh_misfit_fallback_is_differentiable(rng):
+    """The warn-mode mesh fallback must reach the jnp reference — before
+    the fix it returned the unsharded Pallas kernel (no VJP: grads raised;
+    and it mis-sharded under the mesh it warned about)."""
+    import warnings
+
+    from streammind_tpu.parallel import make_mesh
+
+    q = jnp.asarray(rng.standard_normal((3, 8, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 8, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 8, 2, 16)), jnp.float32)
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    with jax.set_mesh(mesh):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            g = jax.jit(jax.grad(
+                lambda q: jnp.sum(attention(q, k, v, causal=True, impl="flash"))
+            ))(q)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(mha_reference(q, k, v, causal=True))
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_impl_honors_kv_len(rng):
+    """impl='bf16' must mask padded keys given kv_len (the docstring's
+    kv_mask/kv_len interchangeability) — it previously attended to pads."""
+    q = jnp.asarray(rng.standard_normal((2, 4, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 6, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 6, 4, 16)), jnp.float32)
+    kv_len = jnp.asarray([3, 5], jnp.int32)
+    kv_mask = jnp.arange(6)[None, :] < kv_len[:, None]
+    out_len = attention(q, k, v, kv_len=kv_len, impl="bf16")
+    out_mask = attention(q, k, v, kv_mask=kv_mask, impl="bf16")
+    np.testing.assert_allclose(
+        np.asarray(out_len), np.asarray(out_mask), rtol=1e-5, atol=1e-6
+    )
+    # and the result differs from ignoring the mask entirely
+    out_none = attention(q, k, v, impl="bf16")
+    assert not np.allclose(np.asarray(out_len), np.asarray(out_none))

@@ -102,3 +102,13 @@ def test_mcqa_helpers():
     assert get_chunk(lst, 3, 1) == chunks[1]
     acc = mcqa_accuracy([{"pred": "A", "gt": "A"}, {"pred": "B", "gt": "C"}])
     assert acc == 50.0
+
+
+def test_split_list_empty_worklist():
+    """Empty corpora (or a wrong data path) must yield empty chunks, not a
+    range()-step-zero ValueError in every eval CLI."""
+    from streammind_tpu.eval.mcqa import get_chunk, split_list
+
+    assert split_list([], 4) == []
+    assert get_chunk([], 4, 0) == []
+    assert get_chunk([1, 2], 4, 3) == []
