@@ -133,7 +133,7 @@ def main():
         print(f"[demo] silent-frame perception rate: "
               f"{1/prof.stages['silence'].mean:.1f} fps "
               f"(first-frame compile excluded: "
-              f"{1/np.mean(prof.stages['silence'].samples[1:] or [1]):.1f} fps)")
+              f"{1/np.mean(list(prof.stages['silence'].samples)[1:] or [1]):.1f} fps)")
 
 
 if __name__ == "__main__":

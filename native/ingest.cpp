@@ -34,7 +34,10 @@ struct Reader {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
   SwsContext* sws = nullptr;
-  int sws_w = 0, sws_h = 0;  // geometry the cached context was built for
+  int sws_w = 0, sws_h = 0;  // output geometry the cached context was built for
+  int sws_src_w = 0, sws_src_h = 0;  // SOURCE geometry (streams can change
+                                     // resolution mid-file; scaling a frame
+                                     // with the container dims would overread)
   int stream_idx = -1;
   int64_t next_frame = 0;  // next frame number the decoder will emit
   bool eof_sent = false;   // drain packet already sent to the decoder
@@ -167,6 +170,8 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
     if (!r->sws) return -1;
     r->sws_w = dst_w;
     r->sws_h = dst_h;
+    r->sws_src_w = r->width;
+    r->sws_src_h = r->height;
   }
 
   std::vector<uint8_t> canvas(static_cast<size_t>(size) * size * 3);
@@ -184,9 +189,23 @@ int sm_read_frames(void* h, const long long* indices, int n, int size,
   (void)hw3;
 
   auto emit = [&](AVFrame* f, int64_t idx) {
+    if (f->width != r->sws_src_w || f->height != r->sws_src_h) {
+      // mid-stream resolution change (DVB captures, some mkv): rebuild the
+      // scaler for the FRAME's dims — scaling with the container header's
+      // dims would read past the frame's planes
+      SwsContext* ns = sws_getContext(f->width, f->height,
+                                      static_cast<AVPixelFormat>(f->format),
+                                      dst_w, dst_h, AV_PIX_FMT_RGB24,
+                                      SWS_BILINEAR, nullptr, nullptr, nullptr);
+      if (!ns) return;  // skip unscalable frame rather than corrupt memory
+      sws_freeContext(r->sws);
+      r->sws = ns;
+      r->sws_src_w = f->width;
+      r->sws_src_h = f->height;
+    }
     uint8_t* dst_data[1] = {scaled.data()};
     int dst_linesize[1] = {dst_w * 3};
-    sws_scale(r->sws, f->data, f->linesize, 0, r->height, dst_data, dst_linesize);
+    sws_scale(r->sws, f->data, f->linesize, 0, f->height, dst_data, dst_linesize);
     // paint canvas with mean fill then blit
     for (size_t i = 0; i < canvas.size(); i += 3) {
       canvas[i] = mean_fill[0];

@@ -142,9 +142,11 @@ def model_init(
             params["text"], bits=4 if load_4bit else 8, free_source=True
         )
 
-    eos_id = getattr(tokenizer, "eos_token_id", 2) if tokenizer else 2
+    eos_id = getattr(tokenizer, "eos_token_id", None) if tokenizer else None
+    if eos_id is None:  # `or 2` would remap a legitimate eos_token_id of 0
+        eos_id = 2
     engine = StreamMindEngine(
-        params, cfg, eos_token_id=eos_id or 2,
+        params, cfg, eos_token_id=eos_id,
         quantize_gate=quantize_gate, fast_vision=fast_vision,
     )
     model = StreamMindModel(params=params, cfg=cfg, engine=engine,

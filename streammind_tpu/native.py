@@ -26,15 +26,22 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _load_failed:  # remember failures: don't re-spawn make per call
         return None
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "ingest.cpp")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:  # build on first use AND when the source is newer than the .so
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
+                ["make", "-C", _NATIVE_DIR, "-B"], check=True,
                 capture_output=True, timeout=120,
             )
         except Exception:  # noqa: BLE001
-            _load_failed = True
-            return None
+            if not os.path.exists(_LIB_PATH):
+                _load_failed = True
+                return None  # no library at all; a stale one still loads
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -121,10 +128,13 @@ class NativeVideoReader:
                 )
             out = out[:n]
             order = order[:n]
-        # undo the ascending sort → original request order
-        unsort = np.empty_like(order)
-        unsort[order] = np.arange(len(order))
-        return out[unsort[: len(out)]] if n == len(idx) else out
+        # undo the ascending decode sort → original request order.  On a
+        # short read the surviving rows keep their relative REQUESTED
+        # order (argsort of the truncated order); the previous
+        # scatter-based unsort indexed past the truncated array for
+        # non-ascending requests (IndexError) and silently returned
+        # decode order otherwise.
+        return out[np.argsort(order, kind="stable")]
 
     def close(self):
         if self._h:

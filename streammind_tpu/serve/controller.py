@@ -228,12 +228,27 @@ def make_handler(controller: Controller):
                 )
                 self._json({"exist": exist})
             elif path == "/worker_generate_stream":
+                if "model" not in data:
+                    # validate BEFORE committing the 200 + stream headers —
+                    # a KeyError after them aborts the connection and the
+                    # client sees a successful-looking empty stream
+                    self._json({"text": "missing 'model' in request",
+                                "error_code": 2}, status=400)
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
-                for chunk in controller.worker_api_generate_stream(data):
-                    self.wfile.write(chunk)
-                    self.wfile.flush()
+                try:
+                    for chunk in controller.worker_api_generate_stream(data):
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+                except Exception as e:  # noqa: BLE001 — headers are out;
+                    # emit a framed error payload instead of dropping the
+                    # connection mid-stream
+                    self.wfile.write(json.dumps(
+                        {"text": f"{SERVER_ERROR_MSG}\n\n({e})",
+                         "error_code": 1}
+                    ).encode() + b"\0")
             elif path == "/worker_get_status":
                 models = controller.list_models()
                 with controller._lock:

@@ -135,10 +135,15 @@ def make_handler(controller_url=None, worker=None):
             self.end_headers()
             self.wfile.write(body)
 
+        # Per-path request-body caps, enforced BEFORE buffering — this is an
+        # unauthenticated server.  /api/generate legitimately carries
+        # base64 video; everything else is small JSON.
+        BODY_CAPS = {"/api/generate": 512 * 1024 * 1024}
+        DEFAULT_BODY_CAP = 64 * 1024
+
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
-            if self.path == "/api/vote" and length > 65536:
-                # unauthenticated endpoint: refuse before buffering the body
+            if length > self.BODY_CAPS.get(self.path, self.DEFAULT_BODY_CAP):
                 body = json.dumps({"ok": False, "error": "payload too large"}).encode()
                 self.send_response(413)
                 self.send_header("Content-Type", "application/json")
@@ -163,8 +168,10 @@ def make_handler(controller_url=None, worker=None):
                 if not isinstance(data, dict):
                     self._json({"ok": False, "error": "bad vote payload"})
                     return
-                os.makedirs("log_dir", exist_ok=True)
-                with open("log_dir/votes.jsonl", "a") as f:
+                from ..constants import LOGDIR  # same dir as the server logs
+
+                os.makedirs(LOGDIR, exist_ok=True)
+                with open(os.path.join(LOGDIR, "votes.jsonl"), "a") as f:
                     f.write(json.dumps({"tstamp": _time.time(), **data}) + "\n")
                 self._json({"ok": True})
             elif self.path == "/api/generate":

@@ -56,25 +56,52 @@ def init_lora_params(key, text_params, r: int = 128, dtype=jnp.float32) -> Dict:
     return lora
 
 
+def _base_weight(leaf):
+    """Full-precision view of a projection leaf's base weight — quantized
+    (int8/int4) bases dequantize first, so a QLoRA run (--bits + lora) can
+    still EXPORT merged weights (previously KeyError 'weight')."""
+    if "weight" in leaf:
+        return leaf["weight"]
+    if "w_int8" in leaf:
+        from ..utils.quantize import dequantize_linear_weight
+
+        return dequantize_linear_weight(leaf)
+    if "w_int4" in leaf:
+        from ..utils.quantize import dequantize_linear_weight_int4
+
+        return dequantize_linear_weight_int4(leaf)
+    if "w_int4pc" in leaf:
+        from ..utils.quantize import dequantize_linear_weight_int4_pc
+
+        return dequantize_linear_weight_int4_pc(leaf)
+    raise KeyError(f"no base weight in leaf with keys {sorted(leaf)}")
+
+
+def _merged_leaf(leaf, ab, scaling):
+    w = _base_weight(leaf)
+    delta = jnp.einsum("lor,lri->loi", ab["B"].astype(w.dtype),
+                       ab["A"].astype(w.dtype))
+    out = {k: v for k, v in leaf.items()
+           if k in ("bias",)}  # drop quantized leaves: merged W is fp
+    out["weight"] = w + scaling * delta
+    return out
+
+
 def apply_lora(text_params, lora, scaling: float):
     """Return a new text-param tree with W + scaling * B @ A merged in.
-    Runs inside jit — XLA fuses the small matmuls into the update."""
+    Runs inside jit — XLA fuses the small matmuls into the update.
+    Quantized bases are dequantized into full-precision merged weights
+    (the export path; training over quantized bases uses attach_lora)."""
     out = dict(text_params)
     layers = dict(text_params["layers"])
     for name, ab in lora["layers"].items():
         if name == "mlp":
             mlp = dict(layers["mlp"])
             for mname, mab in ab.items():
-                w = mlp[mname]["weight"]
-                delta = jnp.einsum("lor,lri->loi", mab["B"].astype(w.dtype),
-                                   mab["A"].astype(w.dtype))
-                mlp[mname] = {**mlp[mname], "weight": w + scaling * delta}
+                mlp[mname] = _merged_leaf(mlp[mname], mab, scaling)
             layers["mlp"] = mlp
         else:
-            w = layers[name]["weight"]
-            delta = jnp.einsum("lor,lri->loi", ab["B"].astype(w.dtype),
-                               ab["A"].astype(w.dtype))
-            layers[name] = {**layers[name], "weight": w + scaling * delta}
+            layers[name] = _merged_leaf(layers[name], ab, scaling)
     out["layers"] = layers
     return out
 

@@ -82,13 +82,10 @@ def make_optimizer(
     (reference mm_projector_lr, videollama2_trainer_score.py:355-384)."""
 
     def adamw(lr):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
-        )
+        return optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
 
     if projector_lr is None:
-        tx = adamw(learning_rate)
+        tx = optax.chain(adamw(learning_rate))
     else:
         def label(tree):
             def build(t, prefix):
@@ -105,9 +102,17 @@ def make_optimizer(
             {"base": adamw(learning_rate), "proj": adamw(projector_lr)}, label
         )
 
-    # zero-out updates for frozen leaves
+    # ONE global-norm clip over all TRAINABLE gradients, inside the mask
+    # (frozen-leaf grads must not inflate the norm) but OUTSIDE the
+    # per-group transform: with the clip inside each multi_transform
+    # branch, base and projector were clipped independently — a combined
+    # update of up to sqrt(2)*grad_clip, silently different from the
+    # single-LR path and the reference's max_grad_norm.  Then zero-out
+    # updates for frozen leaves.
     return optax.chain(
-        optax.masked(tx, mask),
+        optax.masked(
+            optax.chain(optax.clip_by_global_norm(grad_clip), tx), mask
+        ),
         optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, mask)),
     )
 

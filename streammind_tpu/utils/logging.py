@@ -18,6 +18,7 @@ from typing import Dict, Optional
 from ..constants import LOGDIR
 
 _handler = None
+_handlers: Dict[str, logging.Handler] = {}  # one rotating file PER filename
 
 
 def build_logger(logger_name: str, logger_filename: str) -> logging.Logger:
@@ -34,17 +35,27 @@ def build_logger(logger_name: str, logger_filename: str) -> logging.Logger:
     logger = logging.getLogger(logger_name)
     logger.setLevel(logging.INFO)
 
-    if _handler is None:
+    # One rotating file handler PER requested filename: the old process-wide
+    # singleton bound every later logger to whichever file was requested
+    # FIRST (web_server importing controller sent all UI logs to
+    # controller.log, and web_server.log was never created).
+    if logger_filename not in _handlers:
         os.makedirs(LOGDIR, exist_ok=True)
         filename = os.path.join(LOGDIR, logger_filename)
-        _handler = logging.handlers.TimedRotatingFileHandler(
+        h = logging.handlers.TimedRotatingFileHandler(
             filename, when="D", utc=True, encoding="utf-8"
         )
-        _handler.setFormatter(formatter)
-        for name, item in logging.root.manager.loggerDict.items():
-            if isinstance(item, logging.Logger):
-                item.addHandler(_handler)
-    logger.addHandler(_handler)
+        h.setFormatter(formatter)
+        _handlers[logger_filename] = h
+        if _handler is None:
+            # the FIRST file additionally captures every existing logger
+            # (the reference's redirect-everything behavior, utils.py:17-92)
+            _handler = h
+            for name, item in logging.root.manager.loggerDict.items():
+                if isinstance(item, logging.Logger):
+                    item.addHandler(_handler)
+    if _handlers[logger_filename] not in logger.handlers:
+        logger.addHandler(_handlers[logger_filename])
     return logger
 
 

@@ -23,12 +23,14 @@ class LatencyTracker:
     'first_token')."""
 
     def __init__(self, capacity: int = 10000):
-        self.samples: List[float] = []
+        # deque(maxlen): O(1) eviction — list.pop(0) shifted all 10k
+        # entries on every sample once full, on the per-frame hot path
+        from collections import deque
+
+        self.samples = deque(maxlen=capacity)
         self.capacity = capacity
 
     def add(self, seconds: float) -> None:
-        if len(self.samples) >= self.capacity:
-            self.samples.pop(0)
         self.samples.append(seconds)
 
     @contextlib.contextmanager

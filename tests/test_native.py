@@ -77,3 +77,28 @@ def test_matches_python_preprocess_geometry(video):
 def test_native_process_video(video):
     out = native.native_process_video(video, num_frames=4, size=112)
     assert out.shape == (4, 3, 112, 112)
+
+
+def test_short_read_non_ascending_order(video):
+    """strict=False short read with a NON-ascending request: previously the
+    scatter-based unsort indexed past the truncated array (IndexError);
+    surviving frames must come back in requested order."""
+    with native.NativeVideoReader(video) as vr:
+        n = vr.num_frames
+        # request beyond the end, out of order: [way-past, 2, 5]
+        out = vr.read([n + 500, 2, 5], size=112, strict=False)
+        assert out.shape[0] <= 3
+        # frames 2 and 5 decode; compare against direct ascending reads
+        ref = vr.read([2, 5], size=112)
+    if out.shape[0] >= 2:
+        np.testing.assert_allclose(out[0], ref[0], atol=1e-6)  # frame 2 first
+        np.testing.assert_allclose(out[1], ref[1], atol=1e-6)
+
+
+def test_full_read_requested_order(video):
+    with native.NativeVideoReader(video) as vr:
+        out = vr.read([10, 2, 5], size=112)
+        ref = vr.read([2, 5, 10], size=112)
+    np.testing.assert_allclose(out[0], ref[2], atol=1e-6)
+    np.testing.assert_allclose(out[1], ref[0], atol=1e-6)
+    np.testing.assert_allclose(out[2], ref[1], atol=1e-6)

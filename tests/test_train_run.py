@@ -422,3 +422,25 @@ def test_overlong_sample_truncates_not_crashes(tmp_path, cfg):
     params = init_streammind_params(jax.random.PRNGKey(0), cfg)
     batch = make_batch_from_sample(s, cfg, params["vision"], "llm")
     assert batch["token_ids"].shape[1] == PLAN_BUCKETS[-1]
+
+
+def test_merge_lora_over_quantized_base(cfg, rng):
+    """QLoRA export: merging adapters into an int8 base must dequantize and
+    produce full-precision merged weights (previously KeyError 'weight')."""
+    from streammind_tpu.utils.quantize import (
+        dequantize_linear_weight, quantize_text_params,
+    )
+
+    params = init_streammind_params(jax.random.PRNGKey(0), cfg)
+    qtext = quantize_text_params(params["text"], bits=8)
+    lora = init_lora_params(jax.random.PRNGKey(1), qtext, r=4)
+    merged = merge_lora_into_params({**params, "text": qtext}, lora, r=4, alpha=8)
+    leaf = merged["text"]["layers"]["q"]
+    assert "weight" in leaf and "w_int8" not in leaf
+    base = dequantize_linear_weight(qtext["layers"]["q"])
+    delta = np.einsum("lor,lri->loi", np.asarray(lora["layers"]["q"]["B"]),
+                      np.asarray(lora["layers"]["q"]["A"]))
+    np.testing.assert_allclose(
+        np.asarray(leaf["weight"]), np.asarray(base) + 2.0 * delta,
+        rtol=1e-4, atol=1e-5,
+    )
