@@ -54,6 +54,11 @@ def main():
                              "weights rarely fire deterministically; this "
                              "demonstrates full cognition turns at the "
                              "chosen dims)")
+    parser.add_argument("--paged", action="store_true",
+                        help="serve the session from the shared page pool "
+                             "(MultiStreamServer kv_mode='paged' at K=1 — "
+                             "the worker's --multistream-capacity default) "
+                             "instead of a dense per-session KV ring")
     args = parser.parse_args()
 
     import jax
@@ -88,10 +93,35 @@ def main():
                               quantize_gate=args.full_size,
                               fast_vision=fast_vision)
     tok = DemoTokenizer()
-    session = StreamSession(
-        engine, tok, prompt_ids=[1, 10, 11, VIDEO_TOKEN_INDEX, 12],
-        max_new_tokens=12, gate_threshold=args.gate_threshold,
-    )
+    prompt_ids = [1, 10, 11, VIDEO_TOKEN_INDEX, 12]
+    if args.paged:
+        import numpy as _np
+
+        from streammind_tpu.streaming.multistream import MultiStreamServer
+
+        srv = MultiStreamServer(engine, capacity=1, kv_mode="paged",
+                                num_pages=64, page_size=64)
+        srv.add_stream("demo", tok, prompt_ids=prompt_ids,
+                       max_new_tokens=12, gate_threshold=args.gate_threshold)
+        slot = srv.slots[0]
+
+        def process_frame(pixels, force_fire=False):
+            prev = slot.gate_threshold
+            if force_fire:
+                slot.gate_threshold = -1.0  # any prob fires
+            try:
+                return srv.step({"demo": _np.asarray(pixels)})["demo"]
+            finally:
+                slot.gate_threshold = prev
+
+        turns = slot.turns
+    else:
+        session = StreamSession(
+            engine, tok, prompt_ids=prompt_ids,
+            max_new_tokens=12, gate_threshold=args.gate_threshold,
+        )
+        process_frame = session.process_frame
+        turns = session.turns
 
     # synthetic video via the native encoder → native decode+preprocess
     vid = os.path.join(tempfile.mkdtemp(), "demo.mp4")
@@ -112,7 +142,7 @@ def main():
             break
         t0 = time.perf_counter()
         force = bool(args.fire_every) and (n + 1) % args.fire_every == 0
-        out = session.process_frame(jnp.asarray(pixels, dtype), force_fire=force)
+        out = process_frame(jnp.asarray(pixels, dtype), force_fire=force)
         dt = time.perf_counter() - t0
         stage = "fire " if out is not None else "frame"
         prof.add("fire" if out is not None else "silence", dt)
@@ -124,7 +154,7 @@ def main():
             print(f"  t={t_video:6.2f}s  [{stage}] {dt*1000:7.1f} ms")
 
     print(f"\n[demo] {len(frame_ids)} frames, {fires} utterances, "
-          f"{len(session.turns)} turns")
+          f"{len(turns)} turns")
     for stage, tracker in prof.stages.items():
         s = tracker.summary()
         print(f"[demo] {stage:8s}: n={s['n']:4d}  p50={s['p50_ms']:7.1f} ms  "

@@ -195,9 +195,25 @@ def _write_block(pool_k, pool_v, k_new, v_new, table, length, page_size):
         page_idx = jnp.take_along_axis(table, idx[:, None], axis=1)[:, 0]
         page_idx = jnp.where(pos_page < table.shape[1], page_idx, 0)  # (B,)
         offset = length % page_size
-        return _write_tokens_dma(
-            pool_k, pool_v, k_new[:, 0], v_new[:, 0], page_idx, offset
-        )
+        if pool_k.shape[3] % 128 == 0 or jax.default_backend() != "tpu":
+            # the DMA kernel's HBM tile slices need a lane-aligned (128)
+            # head_dim on real TPUs; CPU runs it interpreted regardless
+            return _write_tokens_dma(
+                pool_k, pool_v, k_new[:, 0], v_new[:, 0], page_idx, offset
+            )
+        # tiny-dims TPU fallback (demos / small models): K serialized
+        # in-place dynamic_update_slices — slow at scale (~0.2 ms each at
+        # 7B, which is why the kernel exists) but correct anywhere
+        for i in range(b):
+            for pool, tok in ((0, k_new), (1, v_new)):
+                upd = tok[i, 0].astype(pool_k.dtype)[:, None, None, :]
+                if pool == 0:
+                    pool_k = jax.lax.dynamic_update_slice(
+                        pool_k, upd, (0, page_idx[i], offset[i], 0))
+                else:
+                    pool_v = jax.lax.dynamic_update_slice(
+                        pool_v, upd, (0, page_idx[i], offset[i], 0))
+        return pool_k, pool_v
 
     pos = length[:, None] + jnp.arange(s)[None, :]           # (B, S)
     page_slot = jnp.take_along_axis(table, pos // page_size, axis=1)  # (B, S)
@@ -225,7 +241,11 @@ def _paged_decode_attention(q, pool_k, pool_v, table, length):
     kernel (reads only the valid pages — bandwidth ∝ actual length); on CPU
     (tests) a reference gather + masked attention.
     """
-    if jax.default_backend() == "tpu":
+    # the in-tree kernel's Mosaic lowering needs MXU/VPU-tileable dims —
+    # head_dim a lane multiple (128) in particular; tiny configs (demos,
+    # small models) fall back to the reference gather path on TPU too
+    kernel_ok = q.shape[-1] % 128 == 0
+    if jax.default_backend() == "tpu" and kernel_ok:
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
 
         mp = table.shape[1]
