@@ -73,7 +73,11 @@ def linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
         t = 1
         for d in lead:
             t *= d
-        if _jax.default_backend() == "tpu" and t <= 8:
+        if (_jax.default_backend() == "tpu" and t <= 8
+                # Mosaic needs the packed input dim lane-aligned (128) —
+                # tiny configs fall back to the dequant path (same class of
+                # constraint as the paged kernels, found by on-chip drives)
+                and p["w_int4pc"].shape[-1] % 128 == 0):
             from ..ops.int4_matvec import int4_matvec
 
             y = int4_matvec(
