@@ -86,6 +86,9 @@ def model_init(
     fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
     load_8bit: bool = False,
     load_4bit: bool = False,
+    model_base: Optional[str] = None,  # base decoder dir for LoRA /
+    # base+mm_projector.bin checkpoints (the reference's --model-base,
+    # model/builder.py:60-142)
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 
@@ -106,7 +109,9 @@ def model_init(
                 )
             from .utils.convert import convert_streammind_checkpoint
 
-            params = convert_streammind_checkpoint(model_path, cfg, dtype)
+            params = convert_streammind_checkpoint(
+                model_path, cfg, dtype, base_path=model_base
+            )
             missing = {"vision", "projector", "text"} - set(params)
             if missing:
                 import warnings

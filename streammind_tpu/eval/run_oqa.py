@@ -61,12 +61,18 @@ def run_inference(args):
                 video = processor(video_path)
                 pred = x_infer(video, q["question"], model, tokenizer,
                                mode=mode, version=version)
-                if q.get("question2"):
-                    pred2 = x_infer(video, q["question2"], model, tokenizer,
-                                    mode=mode, version=version)
             except Exception as e:  # noqa: BLE001
                 pred = ""
                 q["error"] = str(e)
+            if pred and q.get("question2"):
+                # separate try: a failure on the PAIRED question must not
+                # clobber the valid first answer (the row would otherwise
+                # score 0 for every dimension, not just consistency)
+                try:
+                    pred2 = x_infer(video, q["question2"], model, tokenizer,
+                                    mode=mode, version=version)
+                except Exception as e:  # noqa: BLE001
+                    q["error2"] = str(e)
             row = {**q, "pred": pred}
             if pred2 is not None:
                 row["pred2"] = pred2

@@ -242,13 +242,12 @@ def make_handler(controller: Controller):
                     for chunk in controller.worker_api_generate_stream(data):
                         self.wfile.write(chunk)
                         self.wfile.flush()
-                except Exception as e:  # noqa: BLE001 — headers are out;
-                    # emit a framed error payload instead of dropping the
-                    # connection mid-stream
-                    self.wfile.write(json.dumps(
-                        {"text": f"{SERVER_ERROR_MSG}\n\n({e})",
-                         "error_code": 1}
-                    ).encode() + b"\0")
+                except OSError:
+                    # relay/worker failures already arrive as framed
+                    # error_code chunks from worker_api_generate_stream; the
+                    # only exceptions reaching here are CLIENT-socket write
+                    # failures — the peer is gone, nothing to send
+                    pass
             elif path == "/worker_get_status":
                 models = controller.list_models()
                 with controller._lock:

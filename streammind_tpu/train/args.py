@@ -12,6 +12,8 @@ from typing import Optional
 @dataclasses.dataclass
 class ModelArguments:
     model_path: Optional[str] = None           # base checkpoint dir
+    model_base: Optional[str] = None           # base decoder for LoRA /
+    # adapter checkpoint dirs (reference --model-base, builder.py:60-142)
     version: str = "v1_mistral"
     vision_tower: Optional[str] = None          # CLIP checkpoint dir
     mm_projector_type: str = "mamba"

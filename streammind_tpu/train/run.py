@@ -184,8 +184,12 @@ def _plan_geometry(sample, cfg, stage: str, frame_bucket=None):
         return t, fb, spans
     if mamba:
         return t, fb, [t]
-    n_patches = (video.shape[1] if video.ndim == 3
-                 else (cfg.vision.image_size // cfg.vision.patch_size) ** 2)
+    if video.ndim == 3:  # pre-extracted features carry their token count
+        n_patches = video.shape[1]
+    else:
+        n_patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2
+        if getattr(cfg.vision, "select_feature", "patch") == "cls_patch":
+            n_patches += 1  # CLS token kept (vit.py feature_select)
     return t, fb, [projected_token_count(cfg, fb, n_patches)]
 
 
@@ -401,7 +405,9 @@ def train(model_args=None, data_args=None, training_args=None, dataset=None,
         from ..utils.convert import convert_streammind_checkpoint
 
         params = convert_streammind_checkpoint(
-            model_args.model_path, cfg, dtype, vision_path=model_args.vision_tower
+            model_args.model_path, cfg, dtype,
+            vision_path=model_args.vision_tower,
+            base_path=model_args.model_base,
         )
         missing = {"vision", "projector", "text"} - set(params)
         if missing:

@@ -434,7 +434,16 @@ def convert_streammind_checkpoint(
                 break
 
     if adapter_file is not None:
-        sd = load_state_dict(base_path) if base_path else {}
+        if not base_path:
+            raise ValueError(
+                f"{model_path} holds a LoRA adapter checkpoint "
+                f"(adapter_model.bin); merging needs the BASE decoder — "
+                f"pass base_path / model_base (the reference's --model-base, "
+                f"model/builder.py:60-109).  Without it the lora_A/B pairs "
+                f"would silently match nothing and the decoder would fall "
+                f"back to random init."
+            )
+        sd = load_state_dict(base_path)
         scaling = None
         acfg = os.path.join(model_path, "adapter_config.json")
         if os.path.exists(acfg):

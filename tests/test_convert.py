@@ -395,3 +395,18 @@ def test_convert_simple_and_stc_projector_dispatch(tmp_path, rng):
         else:
             assert len(proj["mlp"]) == 2
             assert proj["mlp"][1]["bias"].shape == keys["2.bias"]
+
+
+def test_lora_checkpoint_without_base_raises(tmp_path):
+    """An adapter dir without the base decoder must raise (the lora_A/B
+    pairs would silently match an empty dict and the decoder would fall
+    back to random init)."""
+    import torch
+
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.utils.convert import convert_streammind_checkpoint
+
+    torch.save({"base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+                torch.zeros(4, 64)}, tmp_path / "adapter_model.bin")
+    with pytest.raises(ValueError, match="model-base|base_path|model_base"):
+        convert_streammind_checkpoint(str(tmp_path), tiny_streammind_config())
