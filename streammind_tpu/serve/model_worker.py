@@ -55,6 +55,8 @@ class ModelWorker:
         num_pages: Optional[int] = None,
         page_size: int = 64,
         prewarm: bool = False,
+        model_base: Optional[str] = None,  # base decoder for LoRA /
+        # adapter checkpoints (reference --model-base)
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -77,7 +79,7 @@ class ModelWorker:
             # --quantize-gate/--fast-vision until validated on real weights
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
-                load_8bit=load_8bit, load_4bit=load_4bit,
+                load_8bit=load_8bit, load_4bit=load_4bit, model_base=model_base,
             )
         else:
             self.processor, self.version = None, "llama_2"
@@ -466,6 +468,9 @@ def main():
     parser.add_argument("--controller-address", type=str, default="http://localhost:10000")
     parser.add_argument("--worker-address", type=str, default="http://localhost:21002")
     parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-base", type=str, default=None,
+                        help="base decoder dir for LoRA / adapter "
+                             "checkpoints (reference --model-base)")
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
@@ -523,6 +528,7 @@ def main():
         num_pages=args.num_pages,
         page_size=args.page_size,
         prewarm=args.prewarm,
+        model_base=args.model_base,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")
