@@ -171,11 +171,15 @@ def model_init(
 
 
 def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
-                              tokenizer, version: str, history=None):
+                              tokenizer, version: str, history=None,
+                              sample_type: str = "all",
+                              sample_per: float = 0.5):
     """Shared front half of infer/infer_beams: prompt → splice plan +
     memory ring buffer (keeps the 600-frame cap / bucket / sizing logic in
     one place).  history: [(user, assistant), ...] prior turns; the <video>
-    token is attached to the FIRST user turn only."""
+    token is attached to the FIRST user turn only.  sample_type/sample_per:
+    memory-token subsampling before the splice (reference stream kwargs,
+    videollama2_mistral.py:166-167 → videollama2_arch.py:676-681)."""
     cfg, engine = model.cfg, model.engine
     modal_index = MMODAL_TOKEN_INDEX["VIDEO"]
     conv = conv_templates["mistral_instruct" if version == "llama_2" else version].copy()
@@ -191,6 +195,15 @@ def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
     # projector-generic (mamba → per-frame tokens; linear/mlp/STC → their
     # own counts): the plan below sizes the modal span from memory.shape[1]
     memory = proj_mod.project_memory(model.params["projector"], cfg, feats)
+    if sample_type not in (None, "all") and memory.shape[1] > 1:
+        from .streaming.sampling import subsample_span_indices
+
+        values = (np.asarray(memory[0]) if sample_type == "similarity"
+                  else None)
+        idx = subsample_span_indices(
+            memory.shape[1], sample_type, sample_per, values
+        )
+        memory = memory[:, jnp.asarray(idx), :]
     T = memory.shape[1]
     plan = build_splice_plan(
         input_ids, [T], modal_index,
@@ -211,14 +224,21 @@ def infer(
     max_new_tokens: int = 1024,
     seed: int = 0,
     temperature: Optional[float] = None,
+    top_k: int = 0,
+    top_p: float = 0.0,
     history=None,
+    sample_type: str = "all",
+    sample_per: float = 0.5,
 ):
     """Offline video QA: encode all frames → Mamba memory tokens → splice →
     prefill + decode.  video: (T, 3, H, W) array of CLIP pixel values.
-    history: prior (user, assistant) turns for multi-turn chat."""
+    history: prior (user, assistant) turns for multi-turn chat.
+    top_k/top_p: sampling filters applied when temperature > 0 (the
+    reference decode engine's filter set, generation.py:37-119)."""
     engine = model.engine
     plan, mem_buf = _prepare_cognition_inputs(
-        model, video, instruct, tokenizer, version, history=history
+        model, video, instruct, tokenizer, version, history=history,
+        sample_type=sample_type, sample_per=sample_per,
     )
 
     if temperature is None:
@@ -235,7 +255,7 @@ def infer(
 
     tokens, _ = engine.generate_from_prefill(
         last, cache, max_new_tokens=max_new_tokens,
-        temperature=temperature,
+        temperature=temperature, top_k=top_k, top_p=top_p,
         rng_key=jax.random.PRNGKey(seed),
         # in-decode stop at the template separator (the reference's
         # KeywordsStoppingCriteria) — saves the wasted decode steps when

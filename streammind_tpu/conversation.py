@@ -153,11 +153,20 @@ class Conversation:
     def get_prompt(self) -> str:
         messages = list(self.messages)
         # If the first message carries media (a tuple), move the modal token
-        # to the front of the text on its own line.
+        # to the front of the text on its own line — or, for mmtag
+        # templates, strip it and prepend a tagged exchange (reference
+        # conversation.py:39-48: "<Image><image></Image>" / "Received.").
         if messages and isinstance(messages[0][1], tuple):
             role, payload = messages[0]
             text = payload[0].replace(f"<{self.modality}>", "").strip()
-            messages = [[role, f"<{self.modality}>\n" + text]] + messages[1:]
+            if "mmtag" in self.version:
+                messages = [
+                    [self.roles[0], "<Image><image></Image>"],
+                    [self.roles[1], "Received."],
+                    [role, text],
+                ] + messages[1:]
+            else:
+                messages = [[role, f"<{self.modality}>\n" + text]] + messages[1:]
         return _RENDERERS[self.sep_style](self, messages)
 
     def append_message(self, role: str, message: Any) -> None:
@@ -293,6 +302,66 @@ conv_plain = Conversation(
     sep="\n",
 )
 
+# vicuna v0 ships a baked-in few-shot exchange (reference
+# conversation.py:409-438, offset=2) that every "default"/"v0" prompt
+# re-renders verbatim ahead of the live dialogue.
+conv_vicuna_v0 = Conversation(
+    system=_HUMAN_SYSTEM,
+    roles=("Human", "Assistant"),
+    messages=[
+        ["Human", "What are the key differences between renewable and non-renewable energy sources?"],
+        ["Assistant",
+            "Renewable energy sources are those that can be replenished naturally in a relatively "
+            "short amount of time, such as solar, wind, hydro, geothermal, and biomass. "
+            "Non-renewable energy sources, on the other hand, are finite and will eventually be "
+            "depleted, such as coal, oil, and natural gas. Here are some key differences between "
+            "renewable and non-renewable energy sources:\n"
+            "1. Availability: Renewable energy sources are virtually inexhaustible, while non-renewable "
+            "energy sources are finite and will eventually run out.\n"
+            "2. Environmental impact: Renewable energy sources have a much lower environmental impact "
+            "than non-renewable sources, which can lead to air and water pollution, greenhouse gas emissions, "
+            "and other negative effects.\n"
+            "3. Cost: Renewable energy sources can be more expensive to initially set up, but they typically "
+            "have lower operational costs than non-renewable sources.\n"
+            "4. Reliability: Renewable energy sources are often more reliable and can be used in more remote "
+            "locations than non-renewable sources.\n"
+            "5. Flexibility: Renewable energy sources are often more flexible and can be adapted to different "
+            "situations and needs, while non-renewable sources are more rigid and inflexible.\n"
+            "6. Sustainability: Renewable energy sources are more sustainable over the long term, while "
+            "non-renewable sources are not, and their depletion can lead to economic and social instability.\n"],
+    ],
+    offset=2,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+_MMTAG_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant is able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>."
+)
+
+conv_llava_v0_mmtag = Conversation(
+    system=_MMTAG_SYSTEM,
+    roles=("Human", "Assistant"),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0_mmtag",
+)
+
+conv_llava_v1_mmtag = Conversation(
+    system=_MMTAG_SYSTEM,
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1_mmtag",
+)
+
 conv_llava_v0 = Conversation(
     system=_HUMAN_SYSTEM,
     roles=("Human", "Assistant"),
@@ -313,16 +382,23 @@ conv_llava_v1 = Conversation(
 
 default_conversation = conv_vicuna_v1
 
+# Key set mirrors the reference registry exactly (conversation.py:549-567):
+# same keys → same template objects, incl. "default" → vicuna_v0 (with its
+# baked few-shot block) and the mmtag pair.  Extra aliases beyond the
+# reference: "qwen" (whose backbone branch upstream had no template at all)
+# and "mistral_instruct_live" (snake-case alias for the LIVE key).
 conv_templates: Dict[str, Conversation] = {
-    "default": conv_llava_v0,
-    "v0": conv_llava_v0,
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
     "llama_2": conv_llama_2,
     "plain": conv_plain,
     "v0_plain": conv_plain,
     "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "video_llama_beta": conv_llava_llama_2,
     "mistral_instruct": conv_mistral_instruct,

@@ -64,13 +64,17 @@ class BatchedSessionBroker:
 
     # -- lifecycle (serialized with ticks via the same condition lock) ------
     def add(self, stream_id: str, tokenizer, prompt_ids=None,
-            max_new_tokens: int = 128, gate_threshold: Optional[float] = None):
+            max_new_tokens: int = 128, gate_threshold: Optional[float] = None,
+            temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+            sample_type: str = "all", sample_per: float = 0.5):
         with self._step_lock, self._cv:
             if len(self.server.active) >= self.capacity:
                 self._evict_locked()
             self.server.add_stream(
                 stream_id, tokenizer, prompt_ids=prompt_ids,
                 max_new_tokens=max_new_tokens, gate_threshold=gate_threshold,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                sample_type=sample_type, sample_per=sample_per,
             )
             # a previous session with this (client-chosen) id may have left
             # an unclaimed closed-sentinel in _results — without this, the

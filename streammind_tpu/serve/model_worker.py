@@ -203,6 +203,10 @@ class ModelWorker:
 
         prompt = params["prompt"]
         temperature = float(params.get("temperature", 0.0))
+        # reference worker protocol forwards top_p (model_worker.py:250,275);
+        # top_k is the decode engine's other filter (generation.py:37-119)
+        top_p = float(params.get("top_p", 1.0))
+        top_k = int(params.get("top_k", 0))
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop")
 
@@ -257,7 +261,7 @@ class ModelWorker:
         text = ""
         for tok in engine.decode_stream(
             last, cache, max_new_tokens=max_new_tokens, temperature=temperature,
-            rng_key=rng_key,
+            top_k=top_k, top_p=top_p, rng_key=rng_key,
         ):
             generated.append(tok)
             try:
@@ -302,12 +306,22 @@ class ModelWorker:
             prompt_ids = tokenizer_multimodal_token(
                 prompt, self.tokenizer, MMODAL_TOKEN_INDEX["VIDEO"]
             )
+        sampling = dict(
+            temperature=float(params.get("temperature", 0.0)),
+            top_k=int(params.get("top_k", 0)),
+            top_p=float(params.get("top_p", 0.0)),
+            # memory-token subsampling before the splice (reference
+            # sample_per/sample_type stream kwargs)
+            sample_type=str(params.get("sample_type", "all")),
+            sample_per=float(params.get("sample_per", 0.5)),
+        )
         if self.broker is not None:
             try:
                 self.broker.add(
                     sid, self.tokenizer, prompt_ids=prompt_ids,
                     max_new_tokens=int(params.get("max_new_tokens", 128)),
                     gate_threshold=params.get("gate_threshold"),
+                    **sampling,
                 )
             except (RuntimeError, ValueError) as e:
                 return {"error": str(e), "error_code": 2}
@@ -318,6 +332,7 @@ class ModelWorker:
             self.model.engine, self.tokenizer, prompt_ids=prompt_ids,
             max_new_tokens=int(params.get("max_new_tokens", 128)),
             gate_threshold=params.get("gate_threshold"),
+            **sampling,
         )
         with self._sessions_lock:
             self._sessions[sid] = (session, threading.Lock(), time.time())

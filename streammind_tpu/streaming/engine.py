@@ -26,6 +26,7 @@ from ..models import mistral as lm
 from ..models import projector as proj
 from ..models.meta import SplicePlan, build_splice_plan, bucket_length, splice_embeds
 from ..models.vit import vit_forward
+from .sample import sample_first_token, sample_token
 from .state import StreamState, init_stream_state
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
@@ -249,11 +250,13 @@ class StreamMindEngine:
         return last, cache
 
     def _decode_impl(self, params, first_token, cache, eos_id, max_new: int,
-                     temperature, rng_key, stop_ids):
+                     temperature, top_k, top_p, rng_key, stop_ids):
         """Decode loop with early EOS exit, fixed token buffer.
 
-        temperature <= 0 → greedy; else temperature sampling (the reference
-        uses do_sample with temperature 0.2, streammind/__init__.py:84-85).
+        temperature <= 0 → greedy; else top-k/top-p/temperature sampling
+        (streaming/sample.py — the reference decode engine's filter set,
+        generation.py:37-119; its __init__.py infer uses do_sample with
+        temperature 0.2).
 
         stop_ids: (S, L) int32, each row a stop token sequence left-padded
         with -1 — the in-loop KeywordsStoppingCriteria (reference
@@ -278,11 +281,7 @@ class StreamMindEngine:
                 p["text"], cfg.text, input_ids=tok[None, None], cache=cache
             )
             key, sub = jax.random.split(key)
-            nxt = jnp.where(
-                temperature > 0,
-                jax.random.categorical(sub, logits[0, -1] / jnp.maximum(temperature, 1e-6)),
-                jnp.argmax(logits[0, -1]),
-            ).astype(jnp.int32)
+            nxt = sample_token(sub, logits[0, -1], temperature, top_k, top_p)
             # the sampled token is written IMMEDIATELY (at i+1; slot 0 holds
             # first_token) so a stop-terminating token is present in the
             # buffer for host-side trimming; it is fed to the cache only if
@@ -307,7 +306,8 @@ class StreamMindEngine:
         return buf, jnp.minimum(n, max_new), cache
 
     def _decode_batch_impl(self, params, first_tokens, cache, eos_id, max_new: int,
-                           limits, temperature, rng_key, active, stop_ids):
+                           limits, temperature, top_k, top_p, rng_key, active,
+                           stop_ids):
         """Lockstep batched decode over K rows with per-row EOS.
 
         Each device step decodes one token for EVERY still-live row — the
@@ -344,12 +344,9 @@ class StreamMindEngine:
                 cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
             )
             key, sub = jax.random.split(key)
-            last = logits[:, -1]
-            nxt = jnp.where(
-                temperature > 0,
-                jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
-                jnp.argmax(last, axis=-1),
-            ).astype(jnp.int32)
+            # temperature/top_k/top_p are per-row (K,) vectors here — each
+            # batched dialogue keeps its own request's sampling params
+            nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
             limit_hit = i + 1 >= limits
             nxt = jnp.where(jnp.logical_or(done, limit_hit), eos_id, nxt)
             tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
@@ -385,7 +382,9 @@ class StreamMindEngine:
         cache,                # batch-K KVCache (consumed)
         max_new_tokens,       # int or per-row list of K ints
         active=None,          # (K,) bool — padding-row mask
-        temperature: float = 0.0,
+        temperature=0.0,      # scalar or per-row list of K floats
+        top_k=0,              # scalar or per-row list of K ints
+        top_p=0.0,            # scalar or per-row list of K floats
         rng_key=None,
         stop_ids=None,        # (S, L) stop-sequence matrix (stop_id_matrix)
     ):
@@ -395,6 +394,8 @@ class StreamMindEngine:
         counts the lockstep decode iterations actually executed — for K
         concurrent turns it is max(len_k), which is what makes batched
         cognition ≫ sequential when several streams fire together.
+        Sampling knobs may be per-row: each batched dialogue keeps its own
+        request's temperature/top_k/top_p (reference worker protocol).
         """
         if not hasattr(self, "_decode_batch"):
             self._decode_batch = jax.jit(
@@ -415,41 +416,35 @@ class StreamMindEngine:
             active_arr = jnp.asarray(active, bool)
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
+        temp_arr = _knob_rows(temperature, K, jnp.float32)
+        topk_arr = _knob_rows(top_k, K, jnp.int32)
+        topp_arr = _knob_rows(top_p, K, jnp.float32)
         rng_key, k0 = jax.random.split(rng_key)
-        if temperature > 0:
-            first = jax.random.categorical(
-                k0, last_logits.astype(jnp.float32) / max(temperature, 1e-6), axis=-1
-            ).astype(jnp.int32)
-        else:
-            first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        first = sample_first_token(k0, last_logits, temp_arr, topk_arr, topp_arr)
         buf, steps, cache = self._decode_batch(
             self.params, first, cache, jnp.int32(self.eos_token_id), max_new,
-            jnp.asarray(limits, jnp.int32), jnp.float32(temperature), rng_key,
-            active_arr, stop,
+            jnp.asarray(limits, jnp.int32), temp_arr, topk_arr, topp_arr,
+            rng_key, active_arr, stop,
         )
         rows = np.asarray(buf)
         out = [tokens_until_eos(rows[r], self.eos_token_id) for r in range(K)]
         return out, int(steps), cache
 
-    def _decode_step_impl(self, params, tok, cache, temperature, rng_key):
+    def _decode_step_impl(self, params, tok, cache, temperature, top_k, top_p,
+                          rng_key):
         """One decode step (for token-streaming callers like the HTTP
         worker): feeds `tok`, returns the next token + updated cache."""
         p, cfg = params, self.cfg
         logits, cache = lm.text_forward(
             p["text"], cfg.text, input_ids=tok[None, None], cache=cache
         )
-        nxt = jnp.where(
-            temperature > 0,
-            jax.random.categorical(
-                rng_key, logits[0, -1] / jnp.maximum(temperature, 1e-6)
-            ),
-            jnp.argmax(logits[0, -1]),
-        ).astype(jnp.int32)
+        nxt = sample_token(rng_key, logits[0, -1], temperature, top_k, top_p)
         return nxt, cache
 
     def decode_stream(
         self, last_logits, cache, max_new_tokens: int = 256,
-        temperature: float = 0.0, rng_key=None,
+        temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+        rng_key=None,
     ):
         """Generator yielding token ids one at a time — the streaming-worker
         analogue of TextIteratorStreamer (reference model_worker.py:271-300).
@@ -461,19 +456,17 @@ class StreamMindEngine:
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         rng_key, k0 = jax.random.split(rng_key)
-        if temperature > 0:
-            tok = jax.random.categorical(
-                k0, last_logits[0].astype(jnp.float32) / max(temperature, 1e-6)
-            ).astype(jnp.int32)
-        else:
-            tok = jnp.argmax(last_logits[0]).astype(jnp.int32)
+        temp = jnp.float32(temperature)
+        tk = jnp.int32(top_k)
+        tp = jnp.float32(top_p)
+        tok = sample_first_token(k0, last_logits[0], temp, tk, tp)
         for _ in range(max_new_tokens):
             if int(tok) == self.eos_token_id:
                 return
             yield int(tok)
             rng_key, sub = jax.random.split(rng_key)
             tok, cache = self._decode_step(
-                self.params, tok, cache, jnp.float32(temperature), sub
+                self.params, tok, cache, temp, tk, tp, sub
             )
 
     def _decode_logits_batch(self, params, toks, cache):
@@ -641,22 +634,22 @@ class StreamMindEngine:
         cache,
         max_new_tokens: int = 128,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
         rng_key=None,
         stop_ids=None,
     ):
-        """Continuation after a prefill (greedy, or sampled when
-        temperature > 0).  stop_ids: optional (S, L) stop-sequence matrix
-        (stop_id_matrix) — decoding halts inside the jitted loop within one
-        step of emitting a stop sequence.  Returns (token_list, cache)."""
+        """Continuation after a prefill (greedy, or top-k/top-p/temperature
+        sampled when temperature > 0).  stop_ids: optional (S, L)
+        stop-sequence matrix (stop_id_matrix) — decoding halts inside the
+        jitted loop within one step of emitting a stop sequence.  Returns
+        (token_list, cache)."""
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
-        if temperature > 0:
-            key0, rng_key = jax.random.split(rng_key)
-            first = jax.random.categorical(
-                key0, last_logits[0].astype(jnp.float32) / max(temperature, 1e-6)
-            ).astype(jnp.int32)
-        else:
-            first = jnp.argmax(last_logits[0]).astype(jnp.int32)
+        key0, rng_key = jax.random.split(rng_key)
+        first = sample_first_token(
+            key0, last_logits[0], temperature, top_k, top_p
+        )
         if bool(first == self.eos_token_id):
             return [], cache
         stop = jnp.asarray(
@@ -664,9 +657,21 @@ class StreamMindEngine:
         )
         buf, n, cache = self._decode(
             self.params, first, cache, jnp.int32(self.eos_token_id),
-            max_new_tokens, jnp.float32(temperature), rng_key, stop,
+            max_new_tokens, jnp.float32(temperature), jnp.int32(top_k),
+            jnp.float32(top_p), rng_key, stop,
         )
         return [int(t) for t in np.asarray(buf[: int(n)])], cache
+
+
+def _knob_rows(v, K: int, dtype):
+    """Scalar-or-list sampling knob → (K,) device vector for the batched
+    decode loops (per-row temperature/top_k/top_p)."""
+    if isinstance(v, (int, float)):
+        return jnp.full((K,), v, dtype)
+    vals = list(v)
+    if len(vals) != K:
+        raise ValueError(f"{len(vals)} sampling-knob rows for K={K}")
+    return jnp.asarray(vals, dtype)
 
 
 def tokens_until_eos(row, eos_id: int) -> list:
@@ -853,6 +858,8 @@ def run_cognition_turn(
     cache,
     max_new_tokens: int = 128,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
     rng_key=None,
     stop_ids=None,
 ):
@@ -865,8 +872,8 @@ def run_cognition_turn(
     plan = build_turn_plan(engine, tokenizer, span, pending_ids)
     last, cache = engine.prefill(plan, memory, cache)
     tokens, cache = engine.generate_from_prefill(
-        last, cache, max_new_tokens, temperature=temperature, rng_key=rng_key,
-        stop_ids=stop_ids,
+        last, cache, max_new_tokens, temperature=temperature, top_k=top_k,
+        top_p=top_p, rng_key=rng_key, stop_ids=stop_ids,
     )
     if hasattr(tokenizer, "decode"):
         try:
@@ -961,6 +968,12 @@ class StreamSession:
         max_new_tokens: int = 128,
         gate_threshold: Optional[float] = None,
         stop_strings: Optional[list] = None,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
+        seed: int = 0,
+        sample_type: str = "all",
+        sample_per: float = 0.5,
     ):
         from ..constants import VIDEO_TOKEN_INDEX
 
@@ -968,6 +981,18 @@ class StreamSession:
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
         self.gate_threshold = gate_threshold  # None → argmax (reference demo)
+        # request sampling params (reference worker forwards temperature +
+        # top_p into generate; model_worker.py:250,275)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self._rng = jax.random.PRNGKey(seed)
+        # memory-token subsampling before the splice (reference
+        # sample_per/sample_type stream kwargs, videollama2_mistral.py:166-167
+        # → videollama2_arch.py:676-681): 'all' | 'log' | 'similarity'
+        self.sample_type = sample_type
+        self.sample_per = float(sample_per)
+        self.last_span: list = []  # span actually spliced last turn
         self.stop_strings = list(stop_strings) if stop_strings else []
         self.stop_ids = stop_id_matrix(tokenizer, self.stop_strings)
         self.video_token = VIDEO_TOKEN_INDEX
@@ -1001,6 +1026,11 @@ class StreamSession:
             "max_new_tokens": self.max_new_tokens,
             "gate_threshold": self.gate_threshold,
             "stop_strings": list(self.stop_strings),
+            "temperature": self.temperature,
+            "top_k": self.top_k,
+            "top_p": self.top_p,
+            "sample_type": self.sample_type,
+            "sample_per": self.sample_per,
         }
 
     @classmethod
@@ -1010,7 +1040,12 @@ class StreamSession:
         s = cls(engine, tokenizer,
                 max_new_tokens=int(blob["max_new_tokens"]),
                 gate_threshold=blob["gate_threshold"],
-                stop_strings=blob.get("stop_strings"))
+                stop_strings=blob.get("stop_strings"),
+                temperature=float(blob.get("temperature", 0.0)),
+                top_k=int(blob.get("top_k", 0)),
+                top_p=float(blob.get("top_p", 0.0)),
+                sample_type=str(blob.get("sample_type", "all")),
+                sample_per=float(blob.get("sample_per", 0.5)))
         kv_dtype = s.cache.k.dtype
         mem_dtype = s.state.memory.dtype
         s.state = StreamState(
@@ -1057,6 +1092,13 @@ class StreamSession:
         span = list(range(start, cur_clamped))
         if not span:
             span = [max(cur_clamped - 1, 0)]
+        if self.sample_type not in (None, "all"):
+            from .sampling import subsample_span
+
+            span = subsample_span(
+                span, self.state.memory, self.sample_type, self.sample_per
+            )
+        self.last_span = span
         self.interval_ids.append(cur)
 
         self.pending_ids, self.cache = ensure_turn_capacity(
@@ -1064,9 +1106,12 @@ class StreamSession:
             len(span), self.max_new_tokens,
         )
 
+        self._rng, turn_key = jax.random.split(self._rng)
         text, tokens, self.pending_ids, self.cache = run_cognition_turn(
             eng, self.tokenizer, self.state.memory, span, self.pending_ids,
             self.cache, self.max_new_tokens, stop_ids=self.stop_ids,
+            temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+            rng_key=turn_key,
         )
         if self.stop_strings:
             from ..mm_utils import trim_at_stop_strings

@@ -53,6 +53,16 @@ class _Slot:
     last_fire: int = 0
     frame_idx: int = 0
     stop_ids: Optional[object] = None  # (S, L) matrix (engine.stop_id_matrix)
+    # per-stream sampling params (reference worker protocol: temperature +
+    # top_p ride each request, model_worker.py:250,275); the batched decode
+    # loops take them as per-row vectors so heterogeneous requests batch
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 0.0
+    # memory-token subsampling before the splice (reference sample_per/
+    # sample_type stream kwargs): 'all' | 'log' | 'similarity'
+    sample_type: str = "all"
+    sample_per: float = 0.5
 
 
 class MultiStreamServer:
@@ -100,6 +110,7 @@ class MultiStreamServer:
             self._k_buckets.append(min(k, capacity))
         self.state = init_multistream_state(engine.cfg, capacity)
         self.slots: List[Optional[_Slot]] = [None] * capacity
+        self._rng = jax.random.PRNGKey(0)  # sampling stream for cognition
         size = engine.cfg.vision.image_size
         # match the engine's weight dtype: a float32 filler would promote the
         # whole concatenated batch and silently run the hot ViT in fp32
@@ -111,7 +122,13 @@ class MultiStreamServer:
     def add_stream(
         self, stream_id: str, tokenizer, prompt_ids: Optional[list] = None,
         max_new_tokens: int = 128, gate_threshold: Optional[float] = None,
+        temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
+        sample_type: str = "all", sample_per: float = 0.5,
     ) -> int:
+        """Attach a live stream.  Batched cognition unions every fired
+        row's stop-id matrix into ONE matcher, so all streams of a server
+        should share a tokenizer (heterogeneous tokenizers risk one
+        stream's stop token ids spuriously halting another row's decode)."""
         if any(s is not None and s.stream_id == stream_id for s in self.slots):
             raise ValueError(f"stream id {stream_id!r} is already attached")
         for i, s in enumerate(self.slots):
@@ -130,6 +147,11 @@ class MultiStreamServer:
                     gate_threshold=gate_threshold,
                     stop_ids=(stop_id_matrix(tokenizer, self.stop_strings)
                               if self.stop_strings else None),
+                    temperature=temperature,
+                    top_k=top_k,
+                    top_p=top_p,
+                    sample_type=sample_type,
+                    sample_per=sample_per,
                 )
                 self._reset_slot_state(i)
                 return i
@@ -223,7 +245,15 @@ class MultiStreamServer:
         cfg = self.engine.cfg
         cur = min(slot.frame_idx, cfg.max_stream_frames)
         start = min(slot.last_fire, cur)
-        return list(range(start, cur)) or [max(cur - 1, 0)]
+        span = list(range(start, cur)) or [max(cur - 1, 0)]
+        if slot.sample_type not in (None, "all"):
+            from .sampling import subsample_span
+
+            span = subsample_span(
+                span, self.state.memory[i : i + 1], slot.sample_type,
+                slot.sample_per,
+            )
+        return span
 
     # -- paged-pool capacity management -------------------------------------
     def _paged_slot_capacity(self) -> int:
@@ -375,8 +405,13 @@ class MultiStreamServer:
         active = [True] * K + [False] * pad
 
         last, cache = eng.prefill_batch(plans, memory, cache)
+        self._rng, turn_key = jax.random.split(self._rng)
         tok_lists, _steps, cache = eng.generate_from_prefill_batch(
             last, cache, limits, active=active,
+            temperature=[self.slots[i].temperature for i in rows] + [0.0] * pad,
+            top_k=[self.slots[i].top_k for i in rows] + [0] * pad,
+            top_p=[self.slots[i].top_p for i in rows] + [0.0] * pad,
+            rng_key=turn_key,
             stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
         )
         parts = split_kv_cache(cache, K)
@@ -449,9 +484,14 @@ class MultiStreamServer:
             ]
             memories = [self.state.memory[i : i + 1] for i in rows]
             limits = [self.slots[i].max_new_tokens for i in rows]
+            self._rng, turn_key = jax.random.split(self._rng)
             tok_lists = self.paged.run_turns(
                 [self.slots[i].stream_id for i in rows], plans, memories,
                 max_new_tokens=limits,
+                temperature=[self.slots[i].temperature for i in rows],
+                top_k=[self.slots[i].top_k for i in rows],
+                top_p=[self.slots[i].top_p for i in rows],
+                rng_key=turn_key,
                 stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
             )
             for j, i in enumerate(rows):
@@ -480,9 +520,12 @@ class MultiStreamServer:
             plan = build_turn_plan(
                 self.engine, slot.tokenizer, span, slot.pending_ids
             )
+            self._rng, turn_key = jax.random.split(self._rng)
             toks = self.paged.run_turn(
                 slot.stream_id, plan, memory_row,
                 max_new_tokens=slot.max_new_tokens, stop_ids=slot.stop_ids,
+                temperature=slot.temperature, top_k=slot.top_k,
+                top_p=slot.top_p, rng_key=turn_key,
             )
             text = self._trim(decode_tokens_to_text(slot.tokenizer, toks))
             slot.pending_ids = post_turn_pending(slot.tokenizer)
@@ -494,9 +537,12 @@ class MultiStreamServer:
             self.engine, slot.tokenizer, slot.pending_ids, slot.turns,
             slot.cache, len(span), slot.max_new_tokens,
         )
+        self._rng, turn_key = jax.random.split(self._rng)
         text, tokens, slot.pending_ids, slot.cache = run_cognition_turn(
             self.engine, slot.tokenizer, memory_row, span, slot.pending_ids,
             slot.cache, slot.max_new_tokens, stop_ids=slot.stop_ids,
+            temperature=slot.temperature, top_k=slot.top_k, top_p=slot.top_p,
+            rng_key=turn_key,
         )
         text = self._trim(text)
         slot.turns.append(text)

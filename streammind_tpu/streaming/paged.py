@@ -39,6 +39,7 @@ from ..ops.pallas_utils import interpret_mode
 from ..ops.norms import rms_norm
 from ..ops.rotary import apply_rope, rope_cos_sin
 from ..utils.params import linear
+from .sample import sample_token
 
 
 class PagedKV(NamedTuple):
@@ -425,7 +426,8 @@ class PagedDialogues:
         return last, pool
 
     def _decode_impl(self, params, pool, table, length, first_token, max_new: int,
-                     eos_id, temperature, rng_key, limits, stop_ids):
+                     eos_id, temperature, top_k, top_p, rng_key, limits,
+                     stop_ids):
         """Lockstep batched decode with per-row token limits (`limits` (K,)
         int32, the paged analogue of the dense _decode_batch_impl limits) —
         rows that hit their own limit stop advancing their length/pages
@@ -453,12 +455,9 @@ class PagedDialogues:
             )
             length = length + jnp.where(done, 0, 1).astype(jnp.int32)
             key, sub = jax.random.split(key)
-            last = logits[:, -1]
-            nxt = jnp.where(
-                temperature > 0,
-                jax.random.categorical(sub, last / jnp.maximum(temperature, 1e-6), axis=-1),
-                jnp.argmax(last, axis=-1),
-            ).astype(jnp.int32)
+            # per-row (K,) sampling knobs (streaming/sample.py — the
+            # reference decode engine's top-k/top-p/temperature filters)
+            nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
             limit_hit = i + 1 >= limits
             nxt = jnp.where(jnp.logical_or(done, limit_hit), eos_id, nxt)
             tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
@@ -486,7 +485,7 @@ class PagedDialogues:
 
     # -- per-turn API --------------------------------------------------------
     def run_turns(self, dids: List[str], plans: List[SplicePlan], memories,
-                  max_new_tokens=128, temperature: float = 0.0,
+                  max_new_tokens=128, temperature=0.0, top_k=0, top_p=0.0,
                   rng_key=None, stop_ids=None) -> List[List[int]]:
         """One cognition turn for EACH dialogue, batched: one prefill and one
         lockstep decode loop over the shared pool (paged_text_forward takes
@@ -534,19 +533,19 @@ class PagedDialogues:
 
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
-        rng_key, k0 = jax.random.split(rng_key)
-        if temperature > 0:
-            first = jax.random.categorical(
-                k0, last.astype(jnp.float32) / max(temperature, 1e-6), axis=-1
-            ).astype(jnp.int32)
-        else:
-            first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        from .engine import _EMPTY_STOP_IDS, _knob_rows
+        from .sample import sample_first_token
 
-        from .engine import _EMPTY_STOP_IDS
+        K = len(dids)
+        temp_arr = _knob_rows(temperature, K, jnp.float32)
+        topk_arr = _knob_rows(top_k, K, jnp.int32)
+        topp_arr = _knob_rows(top_p, K, jnp.float32)
+        rng_key, k0 = jax.random.split(rng_key)
+        first = sample_first_token(k0, last, temp_arr, topk_arr, topp_arr)
 
         buf, new_len, self.pool = self._decode(
             eng.params, self.pool, table, length, first, max(max(limits), 1),
-            jnp.int32(eng.eos_token_id), jnp.float32(temperature), rng_key,
+            jnp.int32(eng.eos_token_id), temp_arr, topk_arr, topp_arr, rng_key,
             jnp.asarray(limits, jnp.int32),
             jnp.asarray(_EMPTY_STOP_IDS if stop_ids is None else stop_ids,
                         jnp.int32),
@@ -561,11 +560,13 @@ class PagedDialogues:
 
     def run_turn(self, did: str, plan: SplicePlan, memory,
                  max_new_tokens: int = 128, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 0.0,
                  rng_key=None, stop_ids=None) -> List[int]:
         """One cognition turn for dialogue `did` over the shared pool:
         bucketed prefill of the spliced suffix + greedy/sampled decode.
         Returns the generated token list."""
         return self.run_turns(
             [did], [plan], [memory], max_new_tokens=max_new_tokens,
-            temperature=temperature, rng_key=rng_key, stop_ids=stop_ids,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            rng_key=rng_key, stop_ids=stop_ids,
         )[0]

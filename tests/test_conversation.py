@@ -94,3 +94,62 @@ def test_qwen_chatml_template():
         "<|im_start|>user\ndescribe the video<|im_end|>\n"
         "<|im_start|>assistant\n"
     )
+
+
+def test_registry_byte_parity_with_reference_goldens():
+    """Every reference registry key renders byte-equal to the vendored
+    golden prompts (generated from the reference's own get_prompt,
+    /root/reference/streammind/conversation.py:36-130,549-567), for both a
+    media-bearing multi-turn dialogue and a plain one.  'plain'/'v0_plain'
+    golden single-turn renders only (the upstream PLAIN branch crashes past
+    one turn: sep2=None)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "conv_golden.json")
+    with open(path) as f:
+        goldens = json.load(f)
+    media_only = {"plain", "v0_plain"}
+    for key, expected in goldens.items():
+        name, _, variant = key.partition("::")
+        conv = conv_templates[name].copy()
+        r0, r1 = conv.roles
+        if name in media_only:
+            if variant == "plain":
+                conv.append_message(r0, "pretraining caption")
+            else:
+                conv.append_message(r0, ("<image>\ncaption this", None, None))
+        elif variant == "plain":
+            conv.append_message(r0, "Hello there")
+            conv.append_message(r1, None)
+        else:
+            conv.append_message(r0, ("<image>\nWhat is in the video?", None, None))
+            conv.append_message(r1, "A cat chasing a ball.")
+            conv.append_message(r0, "And what happens next?")
+            conv.append_message(r1, None)
+        assert conv.get_prompt() == expected, f"template {key} drifted"
+
+
+def test_reference_registry_keys_all_present():
+    """Exact key parity with the reference registry (conversation.py:549-567)."""
+    reference_keys = {
+        "default", "v0", "v1", "vicuna_v1", "llama_2", "plain", "v0_plain",
+        "llava_v0", "v0_mmtag", "llava_v1", "v1_mmtag", "llava_llama_2",
+        "video_llama_beta", "mistral_instruct", "mpt",
+        "conv_mistral_instruct_LIVE",
+    }
+    assert reference_keys <= set(conv_templates)
+    # "default" resolves to vicuna_v0 (baked few-shot, offset 2)
+    assert conv_templates["default"].offset == 2
+    assert conv_templates["default"] is conv_templates["v0"]
+
+
+def test_mmtag_media_handling():
+    """mmtag templates wrap media in a tagged exchange instead of
+    prepending the modal token (reference conversation.py:43-46)."""
+    conv = conv_templates["v1_mmtag"].copy()
+    conv.append_message(conv.roles[0], ("<image>\nwhat is this?", None, None))
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert "<Image><image></Image>" in p and "Received." in p
+    assert "what is this?" in p and "<image>\nwhat" not in p

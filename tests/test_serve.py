@@ -109,6 +109,19 @@ def test_http_end_to_end_stream(rng):
     lengths = [len(c["text"]) for c in chunks]
     assert lengths == sorted(lengths)
 
+    # sampled request with the reference worker's top_p param (+top_k):
+    # the filters ride the same compiled decode program
+    payload2 = dict(payload, temperature=0.8, top_p=0.9, top_k=5)
+    req2 = urllib.request.Request(
+        f"http://127.0.0.1:{cport}/worker_generate_stream",
+        data=json.dumps(payload2).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req2, timeout=300) as resp:
+        body = resp.read()
+    chunks2 = [json.loads(c.decode()) for c in body.split(b"\0") if c]
+    assert chunks2 and all(c["error_code"] == 0 for c in chunks2)
+
     ctrl_server.shutdown()
     wserver.shutdown()
 

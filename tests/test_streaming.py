@@ -183,6 +183,70 @@ def test_memory_subsampling(rng):
     )
 
 
+def test_session_memory_subsampling_wired(setup, rng):
+    """Product-path subsampling (reference sample_per/sample_type stream
+    kwargs): the splice sees int(p*T) (min 1) memory slots, and the output
+    changes relative to the full-span session."""
+    cfg, params, engine = setup
+    tok = FakeTokenizer()
+    prompt_ids = [1, 10, 11, VIDEO_TOKEN_INDEX, 12]
+    frames = [_frame(rng, cfg) for _ in range(6)]
+
+    def run(**kw):
+        s = StreamSession(engine, tok, prompt_ids=list(prompt_ids),
+                          gate_threshold=2.0, max_new_tokens=6, **kw)
+        for fr in frames[:-1]:
+            assert s.process_frame(fr) is None
+        out = s.process_frame(frames[-1], force_fire=True)
+        return s, out
+
+    s_full, out_full = run()
+    assert s_full.last_span == list(range(6))
+
+    s_log, out_log = run(sample_type="log", sample_per=0.5)
+    assert len(s_log.last_span) == 3  # int(0.5 * 6)
+    # linspace keeps both ends (reference exponential_sampling)
+    assert s_log.last_span[0] == 0 and s_log.last_span[-1] == 5
+
+    s_sim, out_sim = run(sample_type="similarity", sample_per=0.5)
+    assert len(s_sim.last_span) == 3
+    assert s_sim.last_span[-1] == 5  # newest token is self-similar → kept
+    assert s_sim.last_span == sorted(s_sim.last_span)
+
+    # a different splice must actually reach the decoder
+    assert out_log != out_full or out_sim != out_full
+
+    # tiny spans: at least one slot always survives
+    s1 = StreamSession(engine, tok, prompt_ids=list(prompt_ids),
+                       gate_threshold=2.0, max_new_tokens=4,
+                       sample_type="log", sample_per=0.1)
+    assert s1.process_frame(frames[0], force_fire=True) is not None
+    assert len(s1.last_span) == 1
+
+    # export/resume carries the subsampling config
+    blob = s_log.export_state()
+    s_r = StreamSession.resume(engine, tok, blob)
+    assert s_r.sample_type == "log" and s_r.sample_per == 0.5
+
+
+def test_multistream_subsampling_span(setup, rng):
+    """Per-slot subsampling in the batched server: _slot_span shrinks."""
+    from streammind_tpu.streaming.multistream import MultiStreamServer
+
+    cfg, params, engine = setup
+    tok = FakeTokenizer()
+    server = MultiStreamServer(engine, capacity=2)
+    server.add_stream("a", tok, prompt_ids=[1, 10, VIDEO_TOKEN_INDEX, 12],
+                      gate_threshold=2.0, max_new_tokens=3,
+                      sample_type="log", sample_per=0.5)
+    f = lambda: np.asarray(rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)), np.float32)
+    for _ in range(4):
+        out = server.step({"a": f()})
+        assert out["a"] is None
+    assert server._slot_span(0) == [0, 3]  # linspace(0, 3, 2) of a 4-span
+
+
 def test_multistream_server_lifecycle(setup, rng):
     from streammind_tpu.streaming.multistream import MultiStreamServer
 
