@@ -155,22 +155,30 @@ def init_stc_connector(
     key, cfg: StreamMindConfig, depth=4, mlp_depth=2,
     downsample=(2, 2, 2), variant="stc", dtype=jnp.float32,
 ):
+    """depth=0 (the SpatialConv/SpatialPool configuration,
+    builder.py:780-794) replaces both RegNet stages with identity; the
+    reference then still DECLARES its Conv3d/readout at hidden_size, which
+    cannot run when mm_hidden != hidden — scratch init here sizes those
+    layers to the actual incoming channels so the module works, while the
+    checkpoint converter copies whatever shapes a released file carries."""
     ks = jax.random.split(key, 4 + mlp_depth)
     enc, hid = cfg.mm_hidden_size, cfg.text.hidden_size
+    conv_in = enc if depth == 0 else hid
+    read_in = hid if variant in ("stc", "stc_v35") or depth > 0 else enc
     p = {
         "s1": init_reg_stage(ks[0], depth, enc, hid, dtype),
         "s2": init_reg_stage(ks[1], depth, hid, hid, dtype),
-        "readout": [torch_linear_init(ks[2], hid, hid, dtype=dtype)]
+        "readout": [torch_linear_init(ks[2], hid, read_in, dtype=dtype)]
         + [torch_linear_init(ks[4 + i], hid, hid, dtype=dtype)
            for i in range(mlp_depth - 1)],
     }
     if variant in ("stc", "stc_v35"):
         dt, dh, dw = downsample
-        std = math.sqrt(2.0 / (hid * dt * dh * dw))
+        std = math.sqrt(2.0 / (conv_in * dt * dh * dw))
         p["sampler"] = {
             # ks[3] — NOT ks[4], which seeds the second readout layer
             # (reusing it made sampler and readout[1] correlated draws)
-            "weight": normal_init(ks[3], (hid, hid, dt, dh, dw), std=std, dtype=dtype),
+            "weight": normal_init(ks[3], (hid, conv_in, dt, dh, dw), std=std, dtype=dtype),
             "bias": zeros((hid,), dtype),
         }
     return p
@@ -214,6 +222,9 @@ def stc_forward(
         ) / float(dt * dh * dw)
         x = jax.nn.silu(x)
 
+    # channel count can change at the sampler (depth-0 spatial variants
+    # keep encoder channels into the pool / conv out-channels afterwards)
+    hid = x.shape[1]
     new_t, new_h, new_w = x.shape[2], x.shape[3], x.shape[4]
     x2 = x.transpose(0, 2, 1, 3, 4).reshape(b * new_t, hid, new_h, new_w)
     x2 = reg_stage(x2, p["s2"])
@@ -226,38 +237,31 @@ def stc_forward(
     return out
 
 
+# SpatialConv/SpatialPool ARE depth-0 STC/STP connectors with spatial-only
+# downsampling (reference builder.py:780-794: both subclasses only change
+# the constructor args depth=0, downsample=(1, 2, 2)) — identity stages,
+# Conv3d(kernel=(1,2,2), stride=(1,2,2), padding=1) or AvgPool3d((1,2,2)),
+# SiLU, then the 2-layer MLP readout.
+SPATIAL_DOWNSAMPLE = (1, 2, 2)
+
+
 def init_spatial_conv(key, cfg: StreamMindConfig, dtype=jnp.float32):
-    """SpatialConv (builder.py:780): per-frame 3x3 stride-2 conv + MLP."""
-    k1, k2 = jax.random.split(key)
-    enc, hid = cfg.mm_hidden_size, cfg.text.hidden_size
-    std = math.sqrt(2.0 / (enc * 9))
-    return {
-        "conv": {
-            "weight": normal_init(k1, (hid, enc, 3, 3), std=std, dtype=dtype),
-            "bias": zeros((hid,), dtype),
-        },
-        "readout": [torch_linear_init(k2, hid, hid, dtype=dtype)],
-    }
+    return init_stc_connector(
+        key, cfg, depth=0, mlp_depth=2, downsample=SPATIAL_DOWNSAMPLE,
+        variant="stc", dtype=dtype,
+    )
+
+
+def init_spatial_pool(key, cfg: StreamMindConfig, dtype=jnp.float32):
+    return init_stc_connector(
+        key, cfg, depth=0, mlp_depth=2, downsample=SPATIAL_DOWNSAMPLE,
+        variant="stp", dtype=dtype,
+    )
 
 
 def spatial_conv_forward(x: jax.Array, p) -> jax.Array:
-    b, t, l, d = x.shape
-    hw = int(math.isqrt(l))
-    x2 = x.reshape(b * t, hw, hw, d).transpose(0, 3, 1, 2)
-    x2 = jax.nn.silu(conv2d(x2, p["conv"]["weight"], p["conv"]["bias"], stride=2))
-    c, h2, w2 = x2.shape[1], x2.shape[2], x2.shape[3]
-    x = x2.reshape(b, t, c, h2 * w2).transpose(0, 1, 3, 2).reshape(b, t * h2 * w2, c)
-    return linear(x, p["readout"][0])
+    return stc_forward(x, p, variant="stc", downsample=SPATIAL_DOWNSAMPLE)
 
 
-def spatial_pool_forward(x: jax.Array, proj_params) -> jax.Array:
-    """SpatialPool (builder.py:788): 2x2 avg-pool per frame then linear."""
-    b, t, l, d = x.shape
-    hw = int(math.isqrt(l))
-    x2 = x.reshape(b * t, hw, hw, d)
-    x2 = jax.lax.reduce_window(
-        x2, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) / 4.0
-    h2 = x2.shape[1]
-    x = x2.reshape(b, t * h2 * h2, d)
-    return linear(x, proj_params)
+def spatial_pool_forward(x: jax.Array, p) -> jax.Array:
+    return stc_forward(x, p, variant="stp", downsample=SPATIAL_DOWNSAMPLE)

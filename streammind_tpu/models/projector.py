@@ -64,12 +64,17 @@ def init_projector_params(key, cfg: StreamMindConfig, dtype=jnp.float32):
         p = connectors.init_stc_connector(k1, cfg, variant=variant, dtype=dtype)
         p["cls_net"] = lm.init_text_params(k2, cfg.gate, dtype)
         return p
-    if t == "spatial_conv":
+    if t in ("spatial_conv", "spatial_pool"):
+        # depth-0 STC/STP connectors (reference builder.py:780-794); like
+        # every reference connector they embed a ClsNet gate
         from . import connectors
 
-        return connectors.init_spatial_conv(key, cfg, dtype=dtype)
-    if t == "spatial_pool":
-        return {"proj": torch_linear_init(key, d_out, d_in, dtype=dtype)}
+        k1, k2 = jax.random.split(key)
+        init = (connectors.init_spatial_conv if t == "spatial_conv"
+                else connectors.init_spatial_pool)
+        p = init(k1, cfg, dtype=dtype)
+        p["cls_net"] = lm.init_text_params(k2, cfg.gate, dtype)
+        return p
     raise ValueError(f"Unknown projector type: {t}")
 
 
@@ -180,7 +185,7 @@ def simple_project(params, cfg: StreamMindConfig, frames_features: jax.Array) ->
     if t == "spatial_pool":
         from . import connectors
 
-        return connectors.spatial_pool_forward(frames_features, params["proj"])
+        return connectors.spatial_pool_forward(frames_features, params)
     video_features = jnp.mean(frames_features, axis=1)  # (B, N, H) mean over time
     if t == "identity":
         return video_features

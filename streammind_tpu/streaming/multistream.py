@@ -324,8 +324,9 @@ class MultiStreamServer:
                 )
             if not reserve():
                 raise PagePoolExhausted(
-                    f"pool of {pd.pool.num_pages} pages cannot hold one "
-                    f"turn (bucket {bucket} + {slot.max_new_tokens} decode)"
+                    f"pool of {pd.pool.num_pages - 1} allocatable pages "
+                    f"cannot hold one turn (bucket {bucket} + "
+                    f"{slot.max_new_tokens} decode)"
                 )
         return changed
 

@@ -345,15 +345,20 @@ class PagedDialogues:
 
             dtype = _float_dtype(engine.params["text"])
         self.page_size = page_size
-        self.pool = init_page_pool(cfg, num_pages, page_size, dtype)
-        self.max_pages = max_pages_per_seq or min(
-            num_pages, -(-engine.kv_capacity // page_size)
-        )
         # page 0 is the WRITE SINK: never allocated to a dialogue, so both
         # zero-padded table entries and out-of-range decode writes (a
         # finished batched row writing at its frozen length) land in
-        # garbage space instead of another dialogue's KV (_write_block)
-        self._free: List[int] = list(range(1, num_pages))
+        # garbage space instead of another dialogue's KV (_write_block).
+        # The pool carries num_pages + 1 PHYSICAL pages so the advertised
+        # num_pages are all usable — sizing math (max_pages,
+        # dialogue_capacity, MultiStreamServer's default pool size) counts
+        # allocatable pages, and a dialogue growing to its advertised
+        # capacity must not hit PagePoolExhausted one page short.
+        self.pool = init_page_pool(cfg, num_pages + 1, page_size, dtype)
+        self.max_pages = max_pages_per_seq or min(
+            num_pages, -(-engine.kv_capacity // page_size)
+        )
+        self._free: List[int] = list(range(1, num_pages + 1))
         self.tables: dict = {}   # dialogue id -> list of page ids
         self.lengths: dict = {}  # dialogue id -> int
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))

@@ -355,14 +355,23 @@ def convert_projector_dispatch(sd: Dict, cfg: StreamMindConfig,
         if cls_sd:
             out["cls_net"] = convert_hf_text(cls_sd, cfg.gate, dtype)
         return out
+    if t in ("spatial_conv", "spatial_pool"):
+        # depth-0 STC/STP layouts (reference builder.py:780-794): no RegNet
+        # stages, sampler.0.* only for the conv variant, 2-layer readout
+        variant = "stc" if t == "spatial_conv" else "stp"
+        out = convert_stc_connector(psd, depth=0, variant=variant, dtype=dtype)
+        cls_sd = _strip(psd, "cls_net.cls_model.")
+        if cls_sd:
+            out["cls_net"] = convert_hf_text(cls_sd, cfg.gate, dtype)
+        return out
     if t == "identity":
         return {}
     if t in ("linear",) or re.match(r"^mlp(\d+)x_gelu$", t):
         return convert_simple_projector(psd, cfg, dtype)
     raise NotImplementedError(
-        f"no converter for mm_projector_type={t!r} checkpoints (the "
-        f"spatial_conv/spatial_pool torch layouts are untested here); "
-        f"train from scratch or use one of mamba/linear/mlpNx_gelu/stc/stp"
+        f"no converter for mm_projector_type={t!r} checkpoints; "
+        f"use one of mamba/linear/mlpNx_gelu/stc/stp/spatial or train from "
+        f"scratch"
     )
 
 

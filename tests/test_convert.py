@@ -270,6 +270,80 @@ def test_stc_connector_timm_weight_interop():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ptype", ["spatial_conv", "spatial_pool"])
+def test_spatial_connector_convert_parity(ptype):
+    """spatial_conv / spatial_pool released-format checkpoints convert and
+    reproduce the torch forward at fp32.  The reference classes are depth-0
+    STC/STP connectors with downsample=(1,2,2) (builder.py:780-794):
+    identity stages, Conv3d(k=(1,2,2), s=(1,2,2), padding=1) or
+    AvgPool3d((1,2,2)), SiLU, 2-layer MLP readout.  As declared upstream
+    those layers only run when mm_hidden == hidden, so the mirror uses
+    equal dims."""
+    import torch.nn as nn
+
+    hid = 24  # = mm_hidden (the upstream modules require equal dims)
+
+    class TorchSpatial(nn.Module):
+        def __init__(self):
+            super().__init__()
+            if ptype == "spatial_conv":
+                self.sampler = nn.Sequential(
+                    nn.Conv3d(hid, hid, (1, 2, 2), stride=(1, 2, 2), padding=1),
+                    nn.SiLU(),
+                )
+            else:
+                self.sampler = nn.Sequential(nn.AvgPool3d((1, 2, 2)), nn.SiLU())
+            self.readout = nn.Sequential(
+                nn.Linear(hid, hid), nn.GELU(), nn.Linear(hid, hid)
+            )
+
+        def forward(self, x):  # (B, T, L, D) — STCConnector.forward, s1/s2=Identity
+            b, t, l, d = x.shape
+            hw = int(l ** 0.5)
+            x = x.reshape(b, t, hw, hw, d).permute(0, 4, 1, 2, 3)
+            x = self.sampler(x)
+            nt, nh, nw = x.shape[2:]
+            x = x.permute(0, 2, 1, 3, 4).permute(0, 1, 3, 4, 2)
+            return self.readout(x.reshape(b, nt * nh * nw, hid))
+
+    torch.manual_seed(5)
+    model = TorchSpatial().eval()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 3, 16, hid)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.tensor(x)).numpy()
+
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.models import projector as proj
+    from streammind_tpu.utils.convert import convert_projector_dispatch
+
+    cfg = tiny_streammind_config().replace(mm_projector_type=ptype)
+    # forward parity via the converter + our shared stc_forward path
+    params = convert_projector_dispatch(_sd_numpy(model), cfg)
+    ours = proj.simple_project(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+    # the dispatch also consumes the mm_projector.-prefixed layout with an
+    # embedded gate, and routes the gate to projector["cls_net"]
+    g = cfg.gate
+    gate_conf = transformers.MistralConfig(
+        vocab_size=g.vocab_size, hidden_size=g.hidden_size,
+        intermediate_size=g.intermediate_size, num_hidden_layers=g.num_layers,
+        num_attention_heads=g.num_heads, num_key_value_heads=g.num_kv_heads,
+        head_dim=g.head_dim, attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    gate_t = _sd_numpy(transformers.MistralForCausalLM(gate_conf).eval())
+    sd = {f"mm_projector.{k}": v for k, v in _sd_numpy(model).items()}
+    sd.update({f"mm_projector.cls_net.cls_model.{k}": v for k, v in gate_t.items()})
+    params2 = convert_projector_dispatch(sd, cfg)
+    assert "cls_net" in params2
+    out2 = proj.simple_project(
+        {k: v for k, v in params2.items() if k != "cls_net"}, cfg, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_load_state_dict_skips_trainer_artifacts(tmp_path):
     """HF Trainer writes training_args.bin (a pickled object) next to the
     weight shards — it must be filtered out, not torch.load'ed as weights."""
