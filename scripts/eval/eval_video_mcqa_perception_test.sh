@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Perception-Test MCQA (reference
+# eval/inference_video_mcqa_perception_test_mcqa.py).
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+CKPT=${1:?usage: $0 <ckpt> <questions.json> <video-root> [chunks]}
+QFILE=$2; VROOT=$3; CHUNKS=${4:-1}
+OUT=${OUTPUT_DIR:-inference_result}/perception_test
+mkdir -p "$OUT"
+for IDX in $(seq 0 $((CHUNKS - 1))); do
+  python -m streammind_tpu.eval.run_mcqa \
+    --model-path "$CKPT" --benchmark perception \
+    --question-file "$QFILE" --video-root "$VROOT" \
+    --answer-file "$OUT/${CHUNKS}_${IDX}.jsonl" \
+    --num-chunks "$CHUNKS" --chunk-idx "$IDX"
+done
+cat "$OUT/${CHUNKS}_"*.jsonl > "$OUT/merge.jsonl"
+python -m streammind_tpu.eval.run_mcqa --score-only \
+  --model-path "$CKPT" --benchmark perception \
+  --question-file "$QFILE" --video-root "$VROOT" \
+  --answer-file "$OUT/merge.jsonl"

@@ -14,6 +14,21 @@ Public API mirrors the reference (/root/reference/streammind/__init__.py):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("STREAMMIND_PLATFORM"):
+    # Deployment platform pin (e.g. STREAMMIND_PLATFORM=cpu for CI dry-runs
+    # of the CLI entry points).  Plain JAX_PLATFORMS does not survive
+    # environments whose site hooks re-register a platform at interpreter
+    # start; jax.config.update applied before the first device query wins
+    # (same trick as tests/conftest.py and __graft_entry__._force_cpu_mesh).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["STREAMMIND_PLATFORM"])
+    except Exception:  # noqa: BLE001 — backend already initialized
+        pass
+
 _API = ("model_init", "infer", "x_infer")
 
 

@@ -166,7 +166,7 @@ def model_init(
     else:
         version = "llama_2"
     processor = partial(process_video, num_frames=cfg.num_frames or NUM_FRAMES,
-                        aspect_ratio=None)
+                        aspect_ratio=None, image_size=cfg.vision.image_size)
     return model, processor, tokenizer, version
 
 

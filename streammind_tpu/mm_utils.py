@@ -300,8 +300,12 @@ def process_video(
     num_frames: int = NUM_FRAMES,
     sample_scheme: str = "uniform",
     aspect_ratio: str = "pad",
+    image_size: int = CLIP_IMAGE_SIZE,
 ) -> np.ndarray:
-    """Video file/array → (T, 3, 336, 336) float32 pixel values.
+    """Video file/array → (T, 3, image_size, image_size) float32 pixel
+    values (default 336, the CLIP ViT-L/14-336 input; model_init binds the
+    loaded config's vision.image_size so non-336 towers get matching
+    frames).
 
     File inputs prefer the native C++ ingest (decode + letterbox + normalize
     in one pass, streammind_tpu/native.py); arrays and unsupported containers
@@ -314,7 +318,7 @@ def process_video(
             if native.available():
                 return native.native_process_video(
                     video_path, num_frames=num_frames,
-                    sample_scheme=sample_scheme,
+                    sample_scheme=sample_scheme, size=image_size,
                     pad_square=(aspect_ratio == "pad"),
                 )
         except Exception:  # noqa: BLE001 — fall back to the Python reader
@@ -330,7 +334,8 @@ def process_video(
         if video_data.ndim == 3:
             video_data = video_data[None]
     images = frames_to_pil(video_data)
-    return clip_preprocess(images, pad_square=(aspect_ratio == "pad"))
+    return clip_preprocess(images, image_size=image_size,
+                           pad_square=(aspect_ratio == "pad"))
 
 
 def process_image(

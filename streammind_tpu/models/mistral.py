@@ -126,15 +126,17 @@ def _moe_mlp(x, p, cfg: TextConfig):
         of the top-k experts' weights — reads k/E of the expert bytes per
         token instead of all E banks (decode is weight-bandwidth bound; at
         Mixtral 8x7B top-2 this is 4x less expert traffic per step).
-      - otherwise: dense one-hot scan over all experts — correct, shardable
-        over the expert ('ep') mesh axis, and FLOPs-optimal once T is large
-        enough that every expert has work anyway (at T tokens each expert
-        sees ~T*k/E of them; for training T≈2048 the dense path's extra
-        FLOPs are the price of static shapes, a ragged all-to-all kernel is
-        the later optimization — ROADMAP).
+      - otherwise, plain-float banks on ONE device (the training path):
+        sort-by-expert GROUPED dispatch via lax.ragged_dot — exact (no
+        capacity-factor token dropping) while doing k/E of the dense
+        FLOPs/weight reads (_moe_apply_grouped).
+      - otherwise (quantized/LoRA-wrapped banks, or experts sharded over
+        the mesh's tp axis): dense one-hot scan over all experts —
+        correct everywhere, GSPMD-shardable over the expert axis (the
+        sharded grouped form needs a ragged all-to-all — ROADMAP).
 
-    Expert leaves go through utils.params.linear, so quantized (int8/int4)
-    banks and matmul-time LoRA compose with both dispatches.
+    Expert leaves go through utils.params.linear on the gather/scan paths,
+    so quantized (int8/int4) banks and matmul-time LoRA compose there.
     """
     b, s, d = x.shape
     xt = x.reshape(b * s, d)
@@ -149,8 +151,24 @@ def _moe_mlp(x, p, cfg: TextConfig):
         out = _moe_apply_gathered(xt, banks, cfg, topi, topw)
         return out.reshape(b, s, d)
 
+    plain = all(not isinstance(p["experts"][n], dict)
+                for n in ("gate", "up", "down"))
+    if plain and not _expert_axis_sharded():
+        out = _moe_apply_grouped(xt, p["experts"], cfg, topi, topw)
+        return out.reshape(b, s, d)
+
+    out = _moe_apply_dense(xt, banks, cfg, topi, topw)
+    return out.reshape(b, s, d)
+
+
+def _moe_apply_dense(xt, banks, cfg: TextConfig, topi, topw):
+    """Dense one-hot scan: every expert processes every token, zero-weighted
+    where unrouted.  E/k more FLOPs than needed, but static-shaped with no
+    data movement, GSPMD-shardable over the expert axis, and composes with
+    quantized/LoRA leaves through linear()."""
     combine = jnp.sum(
-        jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype) * topw[..., None],
+        jax.nn.one_hot(topi, cfg.num_experts, dtype=topw.dtype)
+        * topw[..., None],
         axis=1,
     )  # (T, E)
 
@@ -165,7 +183,49 @@ def _moe_mlp(x, p, cfg: TextConfig):
     out, _ = jax.lax.scan(
         expert_apply, init, (*banks, combine.T)  # leaves sliced on E per step
     )
-    return out.reshape(b, s, d)
+    return out
+
+
+def _expert_axis_sharded() -> bool:
+    """True under a jax.set_mesh whose tp axis is >1 — expert banks shard
+    on tp (parallel/partitioning.py RULES), and ragged_dot has no GSPMD
+    partitioning rule, so the sharded case keeps the dense scan."""
+    from ..ops.attention import _ambient_mesh
+
+    mesh = _ambient_mesh()
+    return mesh is not None and dict(mesh.shape).get("tp", 1) > 1
+
+
+def _moe_apply_grouped(xt, experts, cfg: TextConfig, topi, topw):
+    """Sort-by-expert grouped dispatch (the training-path hot form).
+
+    Exact — no capacity-factor token dropping: every (token, expert)
+    assignment becomes one row of a (T*k, D) matrix sorted by expert id
+    (stable argsort keeps token order inside a group), and
+    lax.ragged_dot runs each expert's contiguous row block through that
+    expert's weights.  FLOPs and expert-weight reads are k/E of the dense
+    one-hot scan (at Mixtral top-2-of-8: 4x less), and ragged_dot is
+    differentiable, so the same form serves the train step's backward.
+    Reference parity bar is DeepSpeed dense MoE (SURVEY §2.3) — this beats
+    it on the unsharded path.
+    """
+    T, d = xt.shape
+    k = cfg.num_experts_per_tok
+    flat_e = topi.reshape(-1)                      # (T*k,)
+    order = jnp.argsort(flat_e)                    # stable
+    tok = order // k                               # source token per row
+    xs = jnp.take(xt, tok, axis=0)                 # (T*k, D) expert-grouped
+    group_sizes = jnp.bincount(
+        flat_e, length=cfg.num_experts
+    ).astype(jnp.int32)
+    gate_w = jnp.swapaxes(experts["gate"], 1, 2).astype(xt.dtype)  # (E, D, F)
+    up_w = jnp.swapaxes(experts["up"], 1, 2).astype(xt.dtype)
+    down_w = jnp.swapaxes(experts["down"], 1, 2).astype(xt.dtype)  # (E, F, D)
+    g = jax.lax.ragged_dot(xs, gate_w, group_sizes)
+    u = jax.lax.ragged_dot(xs, up_w, group_sizes)
+    y = jax.lax.ragged_dot(jax.nn.silu(g) * u, down_w, group_sizes)
+    w = jnp.take(topw.reshape(-1), order).astype(xt.dtype)
+    return jnp.zeros_like(xt).at[tok].add(y * w[:, None])
 
 
 def _moe_apply_gathered(xt, banks, cfg: TextConfig, topi, topw):

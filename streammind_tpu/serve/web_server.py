@@ -143,7 +143,10 @@ def make_handler(controller_url=None, worker=None):
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
-            if length > self.BODY_CAPS.get(self.path, self.DEFAULT_BODY_CAP):
+            # cap lookup ignores any query string (/api/generate?session=x
+            # must get the video-payload cap, not the 64 KB default)
+            route = self.path.split("?", 1)[0]
+            if length > self.BODY_CAPS.get(route, self.DEFAULT_BODY_CAP):
                 body = json.dumps({"ok": False, "error": "payload too large"}).encode()
                 self.send_response(413)
                 self.send_header("Content-Type", "application/json")

@@ -27,7 +27,7 @@ from ..models import projector as proj
 from ..models.meta import SplicePlan, build_splice_plan, bucket_length, splice_embeds
 from ..models.vit import vit_forward
 from .sample import sample_first_token, sample_token
-from .state import StreamState, init_stream_state
+from .state import StreamState
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
@@ -68,7 +68,15 @@ class StreamMindEngine:
         attn_impl: str = "auto",
         quantize_gate: bool = False,
         fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — tensor-parallel SERVING.  The
+        params are placed by the partitioning rules and all engine-created
+        state (KV caches, stream state) by parallel/serving.py's specs;
+        GSPMD inserts the collectives inside the jitted programs.  This is
+        the TPU-native form of the reference's tensor_parallel.py:111-241
+        serving layer (bf16-7B = 14.5 GB serves on 16 GB v5e chips only
+        split this way)."""
         if fast_vision and attn_impl == "auto":
             # bf16-softmax ViT blocks: ~20% faster perception on v5e with
             # ~2% feature error vs fp32 softmax (serve-path option, like
@@ -101,6 +109,18 @@ class StreamMindEngine:
                 params["projector"]["cls_net"],
                 bits=4 if quantize_gate == "int4" else 8,
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+            from ..parallel.serving import mesh_fits_inference
+
+            if not mesh_fits_inference(mesh, cfg):
+                raise ValueError(
+                    f"mesh tp={dict(mesh.shape).get('tp', 1)} does not divide "
+                    f"num_kv_heads={cfg.text.num_kv_heads} / Mamba "
+                    f"d_inner={cfg.mamba.d_model * cfg.mamba.expand}"
+                )
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.eos_token_id = eos_token_id
@@ -319,19 +339,25 @@ class StreamMindEngine:
         max new tokens; active: (K,) bool — False rows are padding (bucketed
         K) and never advance their cache.  Rows that finish early stop
         advancing their cache (cache_advance 0) and emit eos into the buffer.
-        stop_ids: (S, L) stop sequences left-padded with -1 (the in-loop
-        KeywordsStoppingCriteria, per row); (0, 1) for none.
+        stop_ids: stop sequences left-padded with -1 (the in-loop
+        KeywordsStoppingCriteria) — (S, L) applies one shared matcher to
+        every row; (K, S, L) gives each row its OWN matrix (heterogeneous
+        tokenizers must not stop on another stream's token ids —
+        stack_stop_ids builds this).  (0, 1) for none.
         """
         p, cfg = params, self.cfg
         K = first_tokens.shape[0]
-        L = stop_ids.shape[1]
+        L = stop_ids.shape[-1]
+        per_row = stop_ids if stop_ids.ndim == 3 else stop_ids[None]
 
         def stop_hit(tail):  # tail (K, L) → (K,)
-            return jnp.any(
-                jnp.all((stop_ids[None] == tail[:, None, :]) | (stop_ids[None] < 0),
-                        axis=2),
-                axis=1,
+            # a row is a real stop sequence only if it has a concrete id —
+            # all-(-1) padding rows (ragged per-row stacks) must never match
+            concrete = jnp.any(per_row >= 0, axis=-1)
+            hit = jnp.all(
+                (per_row == tail[:, None, :]) | (per_row < 0), axis=-1
             )
+            return jnp.any(jnp.logical_and(hit, concrete), axis=-1)
 
         def cond(carry):
             i, toks, cache, buf, done, key, tail = carry
@@ -592,10 +618,33 @@ class StreamMindEngine:
         pass cache_capacity_for(...) to avoid full-ring attention reads."""
         if dtype is None:
             dtype = _float_dtype(self.params["text"])
-        return lm.init_kv_cache(
+        cache = lm.init_kv_cache(
             self.cfg.text, batch=1,
             capacity=capacity or self.kv_capacity, dtype=dtype,
         )
+        if self.mesh is not None:
+            from ..parallel.serving import shard_kv_cache
+
+            cache = shard_kv_cache(cache, self.mesh)
+        return cache
+
+    def new_stream_state(self, n_streams: Optional[int] = None):
+        """Fresh perception state (single-stream, or batched when
+        n_streams is given), placed on the engine's mesh when serving
+        tensor-parallel (parallel/serving.py specs)."""
+        from .state import init_multistream_state, init_stream_state
+
+        if n_streams is None:
+            state = init_stream_state(self.cfg)
+        else:
+            state = init_multistream_state(self.cfg, n_streams)
+        if self.mesh is not None:
+            from ..parallel.serving import shard_stream_state
+
+            dp = dict(self.mesh.shape).get("dp", 1)
+            axis = "dp" if (n_streams and n_streams % dp == 0 and dp > 1) else None
+            state = shard_stream_state(state, self.mesh, stream_axis=axis)
+        return state
 
     def prefill(self, plan: SplicePlan, memory: jax.Array, cache):
         """Host wrapper: run the bucketed prefill program."""
@@ -733,6 +782,24 @@ def stop_id_matrix(tokenizer, stop_strings) -> Optional[np.ndarray]:
     for r, x in enumerate(seqs):
         mat[r, width - len(x):] = x
     return mat
+
+
+def stack_stop_ids(mats):
+    """Per-row stop matrices for the batched decode loop: list of K
+    Optional (S_i, L_i) matrices → (K, S, L) stack, ragged slots padded with
+    all-(-1) rows (which the matcher ignores).  Unlike merge_stop_ids, a row
+    can only halt on its OWN stop sequences — required when batched streams
+    use different tokenizers (another stream's ids must not terminate a
+    row's decode).  Returns None if every input is None."""
+    if all(m is None for m in mats):
+        return None
+    S = max(m.shape[0] for m in mats if m is not None) or 1
+    L = max(m.shape[1] for m in mats if m is not None) or 1
+    out = np.full((len(mats), S, L), -1, np.int32)
+    for i, m in enumerate(mats):
+        if m is not None:
+            out[i, : m.shape[0], L - m.shape[1]:] = m
+    return out
 
 
 def merge_stop_ids(mats):
@@ -997,7 +1064,7 @@ class StreamSession:
         self.stop_ids = stop_id_matrix(tokenizer, self.stop_strings)
         self.video_token = VIDEO_TOKEN_INDEX
 
-        self.state = init_stream_state(engine.cfg)
+        self.state = engine.new_stream_state()
         self.cache = engine.new_kv_cache()
         self.turns: list = []
         # ids not yet prefilled into the cache (starts with the system prompt)

@@ -28,7 +28,7 @@ from .engine import (
     decode_tokens_to_text,
     ensure_turn_capacity,
     post_turn_pending,
-    merge_stop_ids,
+    stack_stop_ids,
     rebuild_history_pending,
     run_cognition_turn,
     split_kv_cache,
@@ -314,7 +314,17 @@ class MultiStreamServer:
             for j in victims:
                 if reserve():
                     break
-                self._reset_paged_slot(j, 1, 0)
+                # size the victim's rebuilt history for its REAL pending
+                # span (frames since its last fire), not a 1-frame stub —
+                # a stub-sized history forces another reset + re-prefill
+                # the moment the victim's own next turn arrives
+                vs = self.slots[j]
+                v_span = max(
+                    1,
+                    min(vs.frame_idx, self.engine.cfg.max_stream_frames)
+                    - vs.last_fire,
+                )
+                self._reset_paged_slot(j, v_span, 0)
                 changed = True
             if not reserve() and pd.tables[did]:
                 self._reset_paged_slot(i, span_len, min_bucket)
@@ -413,7 +423,11 @@ class MultiStreamServer:
             top_k=[self.slots[i].top_k for i in rows] + [0] * pad,
             top_p=[self.slots[i].top_p for i in rows] + [0.0] * pad,
             rng_key=turn_key,
-            stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
+            # per-row matrices: a row only halts on its OWN tokenizer's stop
+            # sequences (streams may use heterogeneous tokenizers)
+            stop_ids=stack_stop_ids(
+                [self.slots[i].stop_ids for i in rows] + [None] * pad
+            ),
         )
         parts = split_kv_cache(cache, K)
         for j, i in enumerate(rows):
@@ -493,7 +507,9 @@ class MultiStreamServer:
                 top_k=[self.slots[i].top_k for i in rows],
                 top_p=[self.slots[i].top_p for i in rows],
                 rng_key=turn_key,
-                stop_ids=merge_stop_ids([self.slots[i].stop_ids for i in rows]),
+                stop_ids=stack_stop_ids(
+                    [self.slots[i].stop_ids for i in rows]
+                ),
             )
             for j, i in enumerate(rows):
                 slot = self.slots[i]

@@ -436,18 +436,21 @@ class PagedDialogues:
         """Lockstep batched decode with per-row token limits (`limits` (K,)
         int32, the paged analogue of the dense _decode_batch_impl limits) —
         rows that hit their own limit stop advancing their length/pages
-        while the rest continue.  stop_ids: (S, L) stop sequences
-        left-padded with -1 (in-loop KeywordsStoppingCriteria); (0, 1) for
-        none."""
+        while the rest continue.  stop_ids: stop sequences left-padded with
+        -1 (in-loop KeywordsStoppingCriteria) — (S, L) shared across rows,
+        or (K, S, L) per-row (stack_stop_ids; heterogeneous tokenizers);
+        (0, 1) for none."""
         cfg = self.engine.cfg.text
-        L = stop_ids.shape[1]
+        L = stop_ids.shape[-1]
+        per_row = stop_ids if stop_ids.ndim == 3 else stop_ids[None]
 
         def stop_hit(tail):  # (K, L) → (K,)
-            return jnp.any(
-                jnp.all((stop_ids[None] == tail[:, None, :]) | (stop_ids[None] < 0),
-                        axis=2),
-                axis=1,
+            # all-(-1) padding rows of a ragged per-row stack never match
+            concrete = jnp.any(per_row >= 0, axis=-1)
+            hit = jnp.all(
+                (per_row == tail[:, None, :]) | (per_row < 0), axis=-1
             )
+            return jnp.any(jnp.logical_and(hit, concrete), axis=-1)
 
         def cond(carry):
             i, tok, pool, length, buf, done, key, tail = carry

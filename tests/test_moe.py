@@ -48,6 +48,67 @@ def test_gather_dispatch_matches_dense(moe_setup):
         )
 
 
+def test_grouped_dispatch_matches_dense(moe_setup):
+    """The training-path grouped dispatch (sort-by-expert + ragged_dot,
+    VERDICT r3 item 9) must match the dense one-hot scan — forward AND
+    gradients (it serves the train step's backward)."""
+    cfg, params = moe_setup
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, cfg.hidden_size), jnp.float32)
+
+    xt = x.reshape(-1, cfg.hidden_size)
+    logits = xt @ lp["router"]["weight"].T
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    banks = tuple({"weight": lp["experts"][n]} for n in ("gate", "up", "down"))
+
+    dense = lm._moe_apply_dense(xt, banks, cfg, topi, topw)
+    grouped = lm._moe_apply_grouped(xt, lp["experts"], cfg, topi, topw)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+    # _mlp at T=64 routes through the grouped path (plain banks, no mesh)
+    via_mlp = lm._mlp(x, lp, cfg)
+    np.testing.assert_allclose(
+        np.asarray(via_mlp.reshape(-1, cfg.hidden_size)), np.asarray(dense),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    # gradients wrt inputs and expert banks agree between dispatches
+    def loss_dense(xt, experts):
+        b = tuple({"weight": experts[n]} for n in ("gate", "up", "down"))
+        return jnp.sum(lm._moe_apply_dense(xt, b, cfg, topi, topw) ** 2)
+
+    def loss_grouped(xt, experts):
+        return jnp.sum(lm._moe_apply_grouped(xt, experts, cfg, topi, topw) ** 2)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1))(xt, lp["experts"])
+    gg = jax.grad(loss_grouped, argnums=(0, 1))(xt, lp["experts"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5
+        ),
+        gd, gg,
+    )
+
+
+def test_grouped_dispatch_skewed_routing(moe_setup):
+    """All tokens routed to ONE expert (the capacity-factor killer): the
+    grouped dispatch stays exact — group_sizes [T*k on one expert, 0...]."""
+    cfg, params = moe_setup
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    T = 16
+    xt = jax.random.normal(jax.random.PRNGKey(3), (T, cfg.hidden_size), jnp.float32)
+    topi = jnp.full((T, cfg.num_experts_per_tok), 1, jnp.int32)
+    topi = topi.at[:, 1].set(2)  # everyone picks experts {1, 2}
+    topw = jnp.full((T, cfg.num_experts_per_tok), 0.5, jnp.float32)
+    banks = tuple({"weight": lp["experts"][n]} for n in ("gate", "up", "down"))
+    dense = lm._moe_apply_dense(xt, banks, cfg, topi, topw)
+    grouped = lm._moe_apply_grouped(xt, lp["experts"], cfg, topi, topw)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_quantized_expert_loading(moe_setup):
     """quantize_text_params covers the expert banks: int8 leaves flow
     through linear() in BOTH dispatches; int4 packs at rest."""

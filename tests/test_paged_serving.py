@@ -89,7 +89,9 @@ def test_multistream_paged_density(model, rng):
             assert out[f"d{s}"], (t, s, out)
     pd = srv.paged
     used = sum(len(t) for t in pd.tables.values())
-    assert used + pd.free_pages() == 48 - 1  # page 0 is the reserved write sink
+    # all 48 advertised pages are allocatable (the write sink is an extra
+    # physical page, not carved out of the advertised pool)
+    assert used + pd.free_pages() == 48
     assert len({p for t in pd.tables.values() for p in t}) == used  # disjoint
     # every dialogue holds real tokens, bounded by the pool
     assert all(v > 0 for v in pd.lengths.values())
@@ -110,7 +112,7 @@ def test_paged_reset_recarries_turn_text(model):
 
     srv._reset_paged_slot(0, span_len=2)
     assert srv.paged.lengths["x"] == 0 and srv.paged.tables["x"] == []
-    assert srv.paged.free_pages() == 16 - 1  # page 0 is the write sink
+    assert srv.paged.free_pages() == 16  # all advertised pages reclaimed
     expect = rebuild_history_pending(
         m.engine, tok, slot.turns, [], 2, 4,
         capacity=srv._paged_slot_capacity(),

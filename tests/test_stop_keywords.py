@@ -24,6 +24,7 @@ from streammind_tpu.streaming import StreamMindEngine
 from streammind_tpu.streaming.engine import (
     merge_stop_ids,
     stack_kv_caches,
+    stack_stop_ids,
     stop_id_matrix,
 )
 from streammind_tpu.streaming.paged import PagedDialogues
@@ -139,6 +140,77 @@ def test_batched_decode_stops_per_row(setup):
     # row B unaffected unless the same bigram appears in its stream
     jb = _first_bigram(base[1], bigram)
     assert outs[1] == (base[1] if jb is None else base[1][: jb + 2])
+
+
+def test_stack_stop_ids_shapes():
+    a = np.asarray([[5, 6], [7, 8]], np.int32)
+    b = np.asarray([[9, 10, 11]], np.int32)
+    st = stack_stop_ids([a, None, b])
+    assert st.shape == (3, 2, 3)
+    assert (st[1] == -1).all()            # None row is all-pad
+    assert list(st[0, 0]) == [-1, 5, 6]   # left-padded to shared width
+    assert list(st[2, 0]) == [9, 10, 11]
+    assert stack_stop_ids([None, None]) is None
+
+
+def test_batched_decode_per_row_stop_isolation(setup):
+    """A stop sequence assigned to row A only (stack_stop_ids) must NOT
+    terminate row B even when row B's stream contains it — heterogeneous
+    tokenizers across batched streams (the merge_stop_ids union could halt
+    a row on another row's token ids)."""
+    cfg, params, engine = setup
+    plans = [
+        _plan([1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4], [0, 1, 2]),
+        _plan([1, 8, VIDEO_TOKEN_INDEX, 6], [1, 2]),
+    ]
+    memories = jnp.concatenate([_memory(cfg, 0), _memory(cfg, 1)], axis=0)
+
+    def run(stop_ids=None):
+        cache = stack_kv_caches([engine.new_kv_cache() for _ in plans])
+        last, cache = engine.prefill_batch(plans, memories, cache)
+        outs, _, _ = engine.generate_from_prefill_batch(
+            last, cache, 10, stop_ids=stop_ids
+        )
+        return outs
+
+    base = run()
+    assert len(base[1]) >= 4
+
+    # carve the stop from ROW B's stream, assign it to ROW A only
+    bigram = (base[1][1], base[1][2])
+    row_a_stop = np.asarray([list(bigram)], np.int32)
+    outs = run(stop_ids=stack_stop_ids([row_a_stop, None]))
+    # row B keeps decoding through its own bigram (isolation); with the
+    # merged/shared matcher it would have stopped at index 3
+    assert outs[1] == base[1]
+    # row A stops only if the bigram happens in ITS stream
+    ja = _first_bigram(base[0], bigram)
+    assert outs[0] == (base[0] if ja is None else base[0][: ja + 2])
+
+
+def test_paged_decode_per_row_stop_isolation(setup):
+    """Same isolation contract through the paged batched decode loop."""
+    cfg, params, engine = setup
+    plans = [
+        _plan([1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4], [0, 1, 2]),
+        _plan([1, 8, VIDEO_TOKEN_INDEX, 6], [1, 2]),
+    ]
+    mems = [_memory(cfg, 0), _memory(cfg, 1)]
+
+    def run(stop_ids=None):
+        pd = PagedDialogues(engine, num_pages=32, page_size=8)
+        pd.open("a"), pd.open("b")
+        return pd.run_turns(["a", "b"], plans, mems, max_new_tokens=10,
+                            stop_ids=stop_ids)
+
+    base = run()
+    assert len(base[1]) >= 4
+    bigram = (base[1][1], base[1][2])
+    row_a_stop = np.asarray([list(bigram)], np.int32)
+    outs = run(stop_ids=stack_stop_ids([row_a_stop, None]))
+    assert outs[1] == base[1]
+    ja = _first_bigram(base[0], bigram)
+    assert outs[0] == (base[0] if ja is None else base[0][: ja + 2])
 
 
 def test_paged_decode_stops_on_keyword(setup):
