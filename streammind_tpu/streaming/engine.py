@@ -142,7 +142,8 @@ class StreamMindEngine:
     def _perceive_impl(self, params, pixels, state: StreamState):
         """pixels: (1, 3, H, W) one frame.  Returns (gate_probs, new_state)."""
         p, cfg = params, self.cfg
-        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        feats = vit_forward(p["vision"], cfg.vision, pixels,
+                            attn_impl=self.attn_impl, unroll="full")
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
         )
@@ -172,7 +173,8 @@ class StreamMindEngine:
         tick) keep their carried state untouched.  Returns
         (gate_probs (S, 2), new_state)."""
         p, cfg = params, self.cfg
-        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        feats = vit_forward(p["vision"], cfg.vision, pixels,
+                            attn_impl=self.attn_impl, unroll="full")
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
         )
@@ -181,22 +183,26 @@ class StreamMindEngine:
 
         slots = jnp.minimum(state.frame_idx, cfg.max_stream_frames - 1)
 
-        def put(mem_row, tok_row, slot):
-            return jax.lax.dynamic_update_slice(
-                mem_row, tok_row[None].astype(mem_row.dtype), (slot, 0)
-            )
+        # unfed rows keep their ring untouched: select at the SLOT (one
+        # (1, D) row per stream) rather than where-ing the whole ring —
+        # a full-ring select read+wrote 3x the (S, capacity, D) buffer
+        # every tick (~230 MB at S=8 full dims, ~0.3 ms) and broke the
+        # donated in-place update
+        def put(mem_row, tok_row, slot, feed):
+            cur = jax.lax.dynamic_slice(mem_row, (slot, 0), (1, mem_row.shape[1]))
+            new = jnp.where(feed, tok_row[None].astype(mem_row.dtype), cur)
+            return jax.lax.dynamic_update_slice(mem_row, new, (slot, 0))
 
-        memory = jax.vmap(put)(state.memory, mem_tok, slots)
+        memory = jax.vmap(put)(state.memory, mem_tok, slots, feed_mask)
 
         # unfed slots: freeze every per-slot state component
-        m1 = feed_mask[:, None]
         mamba_state = state.mamba._replace(
             conv=jnp.where(feed_mask[None, :, None, None], mamba_state.conv, state.mamba.conv),
             ssm=jnp.where(feed_mask[None, :, None, None], mamba_state.ssm, state.mamba.ssm),
         )
         new_state = StreamState(
             mamba=mamba_state,
-            memory=jnp.where(m1[..., None], memory, state.memory),
+            memory=memory,
             frame_idx=state.frame_idx + feed_mask.astype(jnp.int32),
             last_fire=state.last_fire,
         )
@@ -224,7 +230,8 @@ class StreamMindEngine:
     def _perceive_burst_impl(self, params, pixels, state: StreamState):
         p, cfg = params, self.cfg
         t = pixels.shape[0]
-        feats = vit_forward(p["vision"], cfg.vision, pixels, attn_impl=self.attn_impl)
+        feats = vit_forward(p["vision"], cfg.vision, pixels,
+                            attn_impl=self.attn_impl, unroll="full")
         mem_toks, mamba_state = proj.mamba_project_chunk(
             p["projector"], cfg, feats[None], state.mamba
         )  # (1, T, D)
