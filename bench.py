@@ -67,6 +67,27 @@ def bench_engine(engine, pixels, n_small=10, n_large=110):
     return (t_large - t_small) / (n_large - n_small)
 
 
+def bench_engine_batch(engine, pixels, n_small=5, n_large=45):
+    """Seconds per batched tick of engine.perceive_step_batch (S streams)."""
+    from streammind_tpu.streaming.state import init_multistream_state
+
+    s_streams = pixels.shape[0]
+    g, _ = engine.perceive_step_batch(pixels, init_multistream_state(engine.cfg, s_streams))
+    np.asarray(g)
+
+    def run(n):
+        s = init_multistream_state(engine.cfg, s_streams)
+        g = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            g, s = engine.perceive_step_batch(pixels, s)
+        np.asarray(g)
+        return time.perf_counter() - t0
+
+    t_small, t_large = run(n_small), run(n_large)
+    return (t_large - t_small) / (n_large - n_small)
+
+
 def main():
     from streammind_tpu.config import StreamMindConfig
     from streammind_tpu.streaming.engine import StreamMindEngine
@@ -88,8 +109,19 @@ def main():
     eng_fast = StreamMindEngine(params, cfg, quantize_gate=True, fast_vision="int8")
     s_fast = bench_engine(eng_fast, pixels)
 
+    # continuous-batched perception: S=8 live streams through ONE tick
+    # (BASELINE config 5's aggregate-throughput shape)
+    n_streams = 8
+    pixels8 = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (n_streams, 3, cfg.vision.image_size, cfg.vision.image_size),
+        jnp.bfloat16,
+    )
+    s_batch = bench_engine_batch(eng_fast, pixels8)
+
     fps_fast = 1.0 / s_fast
     fps_exact = 1.0 / s_exact
+    fps_agg = n_streams / s_batch
     print(
         json.dumps(
             {
@@ -98,6 +130,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps_fast / 100.0, 3),
                 "perception_fps_bit_faithful": round(fps_exact, 2),
+                "perception_fps_s8_aggregate": round(fps_agg, 2),
                 "tier": "fast (int8 gate + int8-MXU ViT), via "
                         "StreamMindEngine.perceive_step",
             }

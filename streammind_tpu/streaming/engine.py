@@ -133,7 +133,19 @@ class StreamMindEngine:
         # are baked into the program payload — at full size that means
         # minutes of host serialization and a multi-GB compile request.
         self._perceive = jax.jit(self._perceive_impl, donate_argnums=(2,))
-        self._perceive_batch = jax.jit(self._perceive_batch_impl, donate_argnums=(2,))
+        # the batched tick runs as TWO programs (vision, then
+        # mamba+gate+state), dispatched back-to-back: measured on v5e at
+        # S=8, the single fused program costs ~25.5 ms while its stages
+        # compiled separately sum to ~18 — XLA's static schedule for the
+        # combined graph stops software-pipelining the ViT's weight
+        # fetches once the mamba step's fp32 VPU chain is appended
+        # (full-unroll even turns harmful: 25.4 vs 23.8 rolled).  Async
+        # dispatch makes the split free; B=1 shows no such pathology and
+        # stays fused.
+        self._perceive_batch_vision = jax.jit(self._perceive_batch_vision_impl)
+        self._perceive_batch_post = jax.jit(
+            self._perceive_batch_post_impl, donate_argnums=(2,)
+        )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(5,))
         self._decode = jax.jit(self._decode_impl, static_argnums=(4,), donate_argnums=(2,))
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(2,))
@@ -165,16 +177,20 @@ class StreamMindEngine:
     def perceive_step(self, pixels, state: StreamState):
         return self._perceive(self.params, pixels, state)
 
-    def _perceive_batch_impl(self, params, pixels, state: StreamState, feed_mask):
-        """Multi-stream perception: pixels (S, 3, H, W), state batched with
-        leading stream axis.  One ViT/gate forward amortizes the weight reads
+    def _perceive_batch_vision_impl(self, params, pixels):
+        """Program 1 of the batched tick: the vision tower alone (see the
+        split rationale at the jit sites in __init__)."""
+        return vit_forward(params["vision"], self.cfg.vision, pixels,
+                           attn_impl=self.attn_impl, unroll="full")
+
+    def _perceive_batch_post_impl(self, params, feats, state, feed_mask):
+        """Program 2 of the batched tick: projector step + gate + state
+        update over S streams.  One gate forward amortizes the weight reads
         across all live streams — the continuous-batching half of BASELINE
         config 5.  feed_mask (S,) bool: slots with False (idle/empty this
         tick) keep their carried state untouched.  Returns
         (gate_probs (S, 2), new_state)."""
         p, cfg = params, self.cfg
-        feats = vit_forward(p["vision"], cfg.vision, pixels,
-                            attn_impl=self.attn_impl, unroll="full")
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
         )
@@ -210,10 +226,14 @@ class StreamMindEngine:
 
     def perceive_step_batch(self, pixels, state: StreamState, feed_mask=None):
         """Batched perception over S streams (state built by
-        init_multistream_state)."""
+        init_multistream_state).  Two back-to-back program dispatches
+        (vision, then projector+gate+state) — async dispatch pipelines
+        them, and the split sidesteps a measured XLA scheduling pathology
+        in the single fused program (~25.5 → ~18 ms at S=8 full dims)."""
         if feed_mask is None:
             feed_mask = jnp.ones((pixels.shape[0],), bool)
-        return self._perceive_batch(self.params, pixels, state, feed_mask)
+        feats = self._perceive_batch_vision(self.params, pixels)
+        return self._perceive_batch_post(self.params, feats, state, feed_mask)
 
     def perceive_burst(self, pixels, state: StreamState):
         """Catch-up path: a burst of T frames for ONE stream in a single
