@@ -110,6 +110,16 @@ class StreamMindEngine:
                 bits=4 if quantize_gate == "int4" else 8,
             )
         self.mesh = mesh
+        if mesh is None and "vision" in params:
+            # serving-path QKV fusion: one GEMM (and, on the int8 tier, one
+            # dynamic-quantize pass) instead of three per encoder layer.
+            # Bit-identical (output-dim concat changes no sum order); the
+            # mesh path keeps separate q/k/v so the tensor-parallel
+            # partitioning rules apply unchanged.
+            from ..models.vit import fuse_vit_qkv
+
+            params = dict(params)
+            params["vision"] = fuse_vit_qkv(params["vision"])
         if mesh is not None:
             from ..parallel import shard_params
             from ..parallel.serving import mesh_fits_inference
