@@ -250,18 +250,20 @@ class StreamMindEngine:
         chunked scan (equals T perceive_steps; one ViT batch + one stateful
         Mamba forward).  pixels (T, 3, H, W); returns (gate_probs of the
         LAST frame, new_state).  Compiled per frame-count bucket."""
-        t = pixels.shape[0]
-        return self._perceive_burst_jit(self.params, pixels, state)
+        feats = self._perceive_batch_vision(self.params, pixels)
+        return self._perceive_burst_jit(self.params, feats, state)
 
     @functools.cached_property
     def _perceive_burst_jit(self):
         return jax.jit(self._perceive_burst_impl, donate_argnums=(2,))
 
-    def _perceive_burst_impl(self, params, pixels, state: StreamState):
+    def _perceive_burst_impl(self, params, feats, state: StreamState):
+        """Program 2 of the burst tick (vision runs separately — same
+        fused-program scheduling pathology as the batched tick: ViT at
+        T frames plus the mamba chunk in one program schedules worse
+        than the two dispatched back-to-back)."""
         p, cfg = params, self.cfg
-        t = pixels.shape[0]
-        feats = vit_forward(p["vision"], cfg.vision, pixels,
-                            attn_impl=self.attn_impl, unroll="full")
+        t = feats.shape[0]
         mem_toks, mamba_state = proj.mamba_project_chunk(
             p["projector"], cfg, feats[None], state.mamba
         )  # (1, T, D)
