@@ -93,6 +93,8 @@ def test_broker_session_churn_soak():
             broker.remove(slot.stream_id)
     pd = broker.server.paged
     assert pd.tables == {} and pd.lengths == {}
-    assert pd.free_pages() == 24 - 1  # everything reclaimed (page 0 = sink)
+    # everything reclaimed: all 24 advertised pages free again (the pool
+    # carries a 25th physical page as the reserved write sink)
+    assert pd.free_pages() == 24
     assert broker.active() == 0
     broker.shutdown()
