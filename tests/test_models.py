@@ -211,3 +211,29 @@ def test_quantize_gate_preserves_qkv_bias():
     np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_fp),
                                rtol=0.05, atol=0.05)
     assert float(jnp.abs(y_q).max()) > 0.1  # bias actually applied
+
+
+def test_vit_qkv_fusion_matches_separate(rng):
+    """fuse_vit_qkv: fused (3D, D) GEMM == three separate matmuls, on both
+    the full-precision and int8-quantized trees (the serving-path
+    transform applied at engine init)."""
+    from streammind_tpu.models.vit import fuse_vit_qkv
+    from streammind_tpu.utils.quantize import quantize_vit_params
+
+    cfg = tiny_vision_config()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 3, 56, 56)), jnp.float32)
+
+    ref = vit_forward(params, cfg, pixels)
+    fused = vit_forward(fuse_vit_qkv(params), cfg, pixels)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+    q = quantize_vit_params(params)
+    ref_q = vit_forward(q, cfg, pixels)
+    fused_q = vit_forward(fuse_vit_qkv(q), cfg, pixels)
+    np.testing.assert_allclose(np.asarray(fused_q), np.asarray(ref_q),
+                               rtol=2e-6, atol=2e-6)
+    # idempotent / already-fused trees pass through
+    t = fuse_vit_qkv(fuse_vit_qkv(params))
+    assert "qkv" in t["layers"] and "q" not in t["layers"]
