@@ -308,8 +308,17 @@ def text_forward(
     return_hidden: bool = False,
     remat: bool = False,
     sequence_axis: Optional[str] = None,
+    unroll=1,
 ):
     """Full forward over a token block.
+
+    unroll: layer-scan unroll factor ("full" = every layer).  Single-token
+    forwards (decode, the gate LM) are pure weight bandwidth; the rolled
+    scan serializes each layer's HBM weight fetch behind the previous
+    layer's compute, and unrolling lets XLA software-pipeline the
+    fetches (same measured effect as the ViT tower's unroll).  Keep the
+    default for training — unrolling multiplies compile time and remat
+    granularity.
 
     Without cache: causal self-attention over the block (training).
     With cache: block is appended at cache.length (prefill or 1-token decode)
@@ -343,7 +352,8 @@ def text_forward(
             return h, (ck, cv)
 
         x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v)
+            body, x, (params["layers"], cache.k, cache.v),
+            unroll=cfg.num_layers if unroll == "full" else unroll,
         )
         advance = cache_advance if cache_advance is not None else s
         new_cache = KVCache(k=new_k, v=new_v, length=cache.length + advance)
@@ -379,7 +389,10 @@ def text_forward(
             # recomputed in backward (the reference's gradient_checkpointing
             # flag, finetune_stage1.sh) — O(1) layer activations live at once
             body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        x, _ = jax.lax.scan(
+            body, x, params["layers"],
+            unroll=cfg.num_layers if unroll == "full" else unroll,
+        )
         new_cache = None
 
     x = rms_norm(x, params["final_norm"]["weight"], cfg.rms_norm_eps)

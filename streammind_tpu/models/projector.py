@@ -207,8 +207,12 @@ def gate_logits(
     attn_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the 4-layer gate LM over an embedded sequence → (B, S, 2) logits."""
+    # full unroll: the gate is pure weight bandwidth at its 1-token
+    # streaming shape and only 4 layers deep — let XLA pipeline the
+    # per-layer weight fetches (same rationale as the ViT tower unroll)
     logits, _ = lm.text_forward(
-        params["cls_net"], cfg.gate, inputs_embeds=memory_tokens, attn_mask=attn_mask
+        params["cls_net"], cfg.gate, inputs_embeds=memory_tokens,
+        attn_mask=attn_mask, unroll="full",
     )
     return logits
 

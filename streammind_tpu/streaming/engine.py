@@ -69,6 +69,7 @@ class StreamMindEngine:
         quantize_gate: bool = False,
         fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
         mesh=None,
+        decode_unroll=1,
     ):
         """mesh: optional jax.sharding.Mesh — tensor-parallel SERVING.  The
         params are placed by the partitioning rules and all engine-created
@@ -137,6 +138,13 @@ class StreamMindEngine:
         self.buckets = tuple(b for b in prefill_buckets if b <= cfg.text.max_position_embeddings)
         self.kv_capacity = kv_capacity or min(cfg.text.max_position_embeddings, 8192)
         self.attn_impl = attn_impl
+        # layer-scan unroll for the 1-token decode forwards: decode is
+        # pure weight bandwidth, and unrolling lets XLA pipeline the
+        # per-layer weight fetches (see models/mistral.py text_forward).
+        # Kept a constructor knob: full unroll multiplies the decode
+        # program size, and at 7B over the tunneled platform that means
+        # minutes of extra first-compile (use worker --prewarm).
+        self.decode_unroll = decode_unroll
 
         # params are explicit jit ARGUMENTS, never closure captures: on the
         # remote-compile (tunneled) platform, arrays captured via `self`
@@ -337,7 +345,8 @@ class StreamMindEngine:
         def body(carry):
             i, tok, cache, buf, done, key, tail = carry
             logits, cache = lm.text_forward(
-                p["text"], cfg.text, input_ids=tok[None, None], cache=cache
+                p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
+                unroll=self.decode_unroll,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(sub, logits[0, -1], temperature, top_k, top_p)
@@ -407,6 +416,7 @@ class StreamMindEngine:
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=toks[:, None], cache=cache,
                 cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
+                unroll=self.decode_unroll,
             )
             key, sub = jax.random.split(key)
             # temperature/top_k/top_p are per-row (K,) vectors here — each
@@ -501,7 +511,8 @@ class StreamMindEngine:
         worker): feeds `tok`, returns the next token + updated cache."""
         p, cfg = params, self.cfg
         logits, cache = lm.text_forward(
-            p["text"], cfg.text, input_ids=tok[None, None], cache=cache
+            p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
+            unroll=self.decode_unroll,
         )
         nxt = sample_token(rng_key, logits[0, -1], temperature, top_k, top_p)
         return nxt, cache
@@ -537,7 +548,8 @@ class StreamMindEngine:
     def _decode_logits_batch(self, params, toks, cache):
         """(K,) tokens, batch-K cache → ((K, V) logits, cache)."""
         logits, cache = lm.text_forward(
-            params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache
+            params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache,
+            unroll=self.decode_unroll,
         )
         return logits[:, -1, :], cache
 

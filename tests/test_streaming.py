@@ -506,3 +506,25 @@ def test_session_export_resume_identical(setup, rng):
     np.testing.assert_array_equal(
         np.asarray(a.state.memory), np.asarray(b.state.memory)
     )
+
+
+def test_decode_unroll_matches_rolled(setup, rng):
+    """decode_unroll (layer-scan unroll on the 1-token decode forwards) is
+    a pure scheduling knob: same greedy tokens as the rolled default."""
+    cfg, params, engine = setup
+    ids = [1, 5, 9, VIDEO_TOKEN_INDEX, 7, 4]
+    memory = jnp.asarray(
+        rng.standard_normal((1, cfg.max_stream_frames, cfg.text.hidden_size)),
+        jnp.float32,
+    )
+    plan = build_splice_plan(ids, [3], VIDEO_TOKEN_INDEX, 32)
+
+    def toks(eng):
+        cache = eng.new_kv_cache()
+        last, cache = eng.prefill(plan, memory, cache)
+        out, _ = eng.generate_from_prefill(last, cache, max_new_tokens=8)
+        return out
+
+    eng_u = StreamMindEngine(params, cfg, eos_token_id=2,
+                             prefill_buckets=(32, 64), decode_unroll="full")
+    assert toks(eng_u) == toks(engine)
