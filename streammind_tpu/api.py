@@ -89,6 +89,7 @@ def model_init(
     model_base: Optional[str] = None,  # base decoder dir for LoRA /
     # base+mm_projector.bin checkpoints (the reference's --model-base,
     # model/builder.py:60-142)
+    decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 
@@ -153,6 +154,7 @@ def model_init(
     engine = StreamMindEngine(
         params, cfg, eos_token_id=eos_id,
         quantize_gate=quantize_gate, fast_vision=fast_vision,
+        decode_unroll=decode_unroll,
     )
     model = StreamMindModel(params=params, cfg=cfg, engine=engine,
                             model_path=model_path or "")

@@ -57,6 +57,7 @@ class ModelWorker:
         prewarm: bool = False,
         model_base: Optional[str] = None,  # base decoder for LoRA /
         # adapter checkpoints (reference --model-base)
+        decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -80,6 +81,7 @@ class ModelWorker:
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
                 load_8bit=load_8bit, load_4bit=load_4bit, model_base=model_base,
+                decode_unroll=decode_unroll,
             )
         else:
             self.processor, self.version = None, "llama_2"
@@ -521,6 +523,13 @@ def main():
                              "dense-equivalent page count for the capacity)")
     parser.add_argument("--page-size", type=int, default=64,
                         help="tokens per KV page (multiple of 8)")
+    parser.add_argument("--decode-unroll", type=lambda v: v if v == "full" else int(v),
+                        default=1,
+                        help="layer-scan unroll for the 1-token decode "
+                             "forwards (int or 'full'); decode is weight-"
+                             "bandwidth bound and unrolling lets XLA "
+                             "pipeline the per-layer fetches, at the cost "
+                             "of a bigger decode program to compile")
     parser.add_argument("--prewarm", action="store_true",
                         help="compile the batched perception program at "
                              "startup (first-tick compile takes minutes at "
@@ -544,6 +553,7 @@ def main():
         page_size=args.page_size,
         prewarm=args.prewarm,
         model_base=args.model_base,
+        decode_unroll=args.decode_unroll,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")
