@@ -1,0 +1,57 @@
+"""Chip sweep: decode ms/token at 7B int8 for decode_unroll in {1, 4, 8, full},
+plus compile-time per variant.  Slope-timed.  Run solo on the chip."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from streammind_tpu.config import mistral_7b
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    cfg = mistral_7b()
+    shapes = jax.eval_shape(
+        lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    params = quantize_text_params(params, bits=8, free_source=True)
+
+    CAPACITY = 1024
+
+    for unroll in [1, 4, 8, "full"]:
+        @jax.jit
+        def step(params, tok, cache, _u=unroll):
+            logits, cache = lm.text_forward(
+                params, cfg, input_ids=tok[None, None], cache=cache, unroll=_u
+            )
+            return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+
+        cache = lm.init_kv_cache(cfg, batch=1, capacity=CAPACITY, dtype=jnp.bfloat16)
+        cache = cache._replace(length=cache.length + 512)
+        tok = jnp.int32(7)
+        t0 = time.perf_counter()
+        tok1, cache = step(params, tok, cache)
+        np.asarray(tok1)
+        compile_s = time.perf_counter() - t0
+
+        def run(n, cache):
+            t = tok
+            t0 = time.perf_counter()
+            for _ in range(n):
+                t, cache = step(params, t, cache)
+            np.asarray(t)
+            return time.perf_counter() - t0, cache
+
+        a, cache = run(5, cache)
+        b, cache = run(45, cache)
+        ms = (b - a) / 40 * 1e3
+        print(f"unroll={unroll}: {ms:.2f} ms/token (compile {compile_s:.0f}s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,7 +114,11 @@ class MultiStreamServer:
         size = engine.cfg.vision.image_size
         # match the engine's weight dtype: a float32 filler would promote the
         # whole concatenated batch and silently run the hot ViT in fp32
-        wt = jax.tree_util.tree_leaves(engine.params["vision"])[0].dtype
+        from .engine import _float_dtype
+
+        # _float_dtype skips non-float leaves — on an int8-quantized tree
+        # the positionally-first leaf can be an int8 weight
+        wt = _float_dtype(engine.params["vision"])
         self._pixel_dtype = wt if wt in (jnp.bfloat16, jnp.float32) else jnp.float32
         self._zero_frame = jnp.zeros((1, 3, size, size), self._pixel_dtype)
 
