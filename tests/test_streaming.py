@@ -528,3 +528,38 @@ def test_decode_unroll_matches_rolled(setup, rng):
     eng_u = StreamMindEngine(params, cfg, eos_token_id=2,
                              prefill_buckets=(32, 64), decode_unroll="full")
     assert toks(eng_u) == toks(engine)
+
+
+def test_batched_perceive_feed_mask_freezes_unfed(setup, rng):
+    """Unfed rows (feed_mask False) keep their ENTIRE carried state —
+    memory ring, mamba conv/ssm, frame counter — while fed rows advance
+    exactly like a solo step (the slot-local ring-write contract)."""
+    from streammind_tpu.streaming import init_multistream_state
+
+    cfg, params, engine = setup
+    S = 3
+    frames = jnp.asarray(
+        rng.standard_normal((S, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        jnp.float32,
+    )
+    st = init_multistream_state(cfg, S)
+    # tick 1: feed everyone (so rows carry distinct non-zero state)
+    _, st = engine.perceive_step_batch(frames, st)
+    before = jax.tree.map(np.asarray, st)
+
+    mask = jnp.asarray([True, False, True])
+    _, st2 = engine.perceive_step_batch(frames * 0.5, st, feed_mask=mask)
+
+    # frozen row 1: bit-equal carried state
+    np.testing.assert_array_equal(np.asarray(st2.memory[1]), before.memory[1])
+    np.testing.assert_array_equal(np.asarray(st2.mamba.conv[:, 1]),
+                                  before.mamba.conv[:, 1])
+    np.testing.assert_array_equal(np.asarray(st2.mamba.ssm[:, 1]),
+                                  before.mamba.ssm[:, 1])
+    assert int(st2.frame_idx[1]) == 1
+    # fed rows advanced and wrote slot 1
+    for s in (0, 2):
+        assert int(st2.frame_idx[s]) == 2
+        assert np.abs(np.asarray(st2.memory[s, 1])).sum() > 0
+        np.testing.assert_array_equal(np.asarray(st2.memory[s, 0]),
+                                      before.memory[s, 0])
