@@ -1,34 +1,138 @@
-"""Benchmark: per-stream perception throughput (ViT-L/14-336 encode + Mamba
-step + gate) on one chip — the BASELINE.json primary metric — measured
-through the PRODUCT path (StreamMindEngine.perceive_step), in BOTH serving
-tiers:
+"""Benchmark: the four driver-of-record performance keys on one chip,
+measured through the PRODUCT path, in one JSON record:
 
-  - bit-faithful: the worker default (fp32-softmax ViT, full-precision
-    gate) — what you get without opting into anything;
-  - fast: the opt-in serving tier (--quantize-gate --fast-vision int8):
-    weight-only int8 gate (decisions agree with bf16 within the tested
-    0.08 prob tolerance) + int8-MXU ViT (features within 2.2% rms of bf16).
+  - value                           fast-tier perception fps (int8 gate +
+                                    int8-MXU ViT, StreamMindEngine.perceive_step)
+  - perception_fps_bit_faithful     worker-default tier (fp32-softmax ViT,
+                                    full-precision gate)
+  - perception_fps_s8_aggregate     S=8 live streams through ONE batched tick
+                                    (BASELINE config 5's aggregate shape)
+  - decode_ms_per_token_7b_int8     7B int8 single-token decode, slope-timed
 
-Prints ONE JSON line; the headline value stays the fast tier for
-continuity with BENCH_r01/r02, with the bit-faithful number alongside so a
-regression in the engine path (vs its building blocks) can't hide
-(VERDICT r2 item 2).
-
-  {"metric": "perception_fps_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N/100, "perception_fps_bit_faithful": M, ...}
+Outage-proof by design (VERDICT r4 item 1): the tunneled TPU backend can be
+UNAVAILABLE for hours, and `jax.devices()` HANGS rather than erroring, so
+ (a) backend init is probed in a SUBPROCESS with a hard timeout, retried
+     with backoff for up to STREAMMIND_BENCH_BACKEND_WAIT_S (default 900 s);
+ (b) every tier runs under try/except and the full cumulative JSON line is
+     re-printed after EACH tier — if the process is killed mid-run (driver
+     timeout, tunnel death), the last printed line is still a parseable
+     partial record;
+ (c) if the backend never comes up, the record carries value=null, the
+     error, and the last driver-verified numbers under "last_known_good"
+     instead of a bare traceback.
 
 (baseline: the 100 fps/chip target from BASELINE.json; the reference
 publishes no machine-readable numbers — BASELINE.md).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# Last DRIVER-verified record (BENCH_r03.json) — reported when the backend
+# is unavailable so a tunnel outage can't zero out the evidence again.
+LAST_KNOWN_GOOD = {
+    "round": "r03",
+    "value": 215.15,
+    "perception_fps_bit_faithful": 133.6,
+}
+
+# The session environment force-injects the 'axon' TPU platform even when
+# JAX_PLATFORMS is exported; jax.config.update wins (same workaround as
+# tests/conftest.py).  Set STREAMMIND_BENCH_PLATFORM=cpu to smoke-test the
+# harness itself off-chip.
+_PLATFORM = os.environ.get("STREAMMIND_BENCH_PLATFORM")
+
+
+def _apply_platform():
+    if _PLATFORM:
+        import jax
+
+        jax.config.update("jax_platforms", _PLATFORM)
+
+
+RECORD = {
+    "metric": "perception_fps_per_chip",
+    "value": None,
+    "unit": "frames/s",
+    "vs_baseline": None,
+    "perception_fps_bit_faithful": None,
+    "perception_fps_s8_aggregate": None,
+    "decode_ms_per_token_7b_int8": None,
+    "tier": "fast (int8 gate + int8-MXU ViT), via "
+            "StreamMindEngine.perceive_step",
+}
+
+
+def emit():
+    """Print the full cumulative record as one JSON line.  Called after
+    every tier so the LAST line of output is always the best-so-far
+    parseable record, whatever kills the process later."""
+    print(json.dumps(RECORD), flush=True)
+
+
+def wait_for_backend():
+    """Probe `jax.devices()` in a subprocess (it can HANG in-process when
+    the tunnel is down) with backoff, up to the wait budget.  Returns True
+    once a probe succeeds; False when the budget is exhausted."""
+    budget = float(os.environ.get("STREAMMIND_BENCH_BACKEND_WAIT_S", "900"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = (
+                "import jax; "
+                + (f"jax.config.update('jax_platforms', {_PLATFORM!r}); "
+                   if _PLATFORM else "")
+                + "print(jax.devices()[0].platform)"
+            )
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=90, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                return True
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else "rc=%d" % r.returncode
+        except subprocess.TimeoutExpired:
+            err = "jax.devices() hung >90s (tunnel down)"
+        remaining = deadline - time.monotonic()
+        print(f"# backend probe {attempt} failed: {err} "
+              f"({remaining:.0f}s budget left)", file=sys.stderr, flush=True)
+        if remaining <= 0:
+            RECORD["error"] = (
+                f"backend unavailable after {budget:.0f}s ({attempt} probes): {err}"
+            )
+            RECORD["last_known_good"] = LAST_KNOWN_GOOD
+            return False
+        time.sleep(min(45.0, max(5.0, remaining / 10)))
+
+
+def tier(name):
+    """Decorator: run a tier, fold its result into RECORD, never die."""
+    def wrap(fn):
+        def run(*a, **kw):
+            try:
+                fn(*a, **kw)
+            except Exception as e:  # noqa: BLE001 — partial record by design
+                RECORD.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+                print(f"# tier {name} failed: {e}", file=sys.stderr, flush=True)
+            emit()
+        return run
+    return wrap
+
+
+# STREAMMIND_BENCH_QUICK=1: tiny iteration counts, for smoke-testing the
+# harness itself (numbers are then dispatch-dominated — not for the record).
+QUICK = os.environ.get("STREAMMIND_BENCH_QUICK") == "1"
 
 
 def build_params(cfg):
+    import jax
+    import jax.numpy as jnp
+
     from streammind_tpu.models import projector as proj
     from streammind_tpu.models.vit import init_vit_params
     from streammind_tpu.utils.params import cast_tree
@@ -44,10 +148,14 @@ def build_params(cfg):
 
 
 def bench_engine(engine, pixels, n_small=10, n_large=110):
+    if QUICK:
+        n_small, n_large = 1, 3
     """Per-frame seconds of engine.perceive_step via the slope method
     (subtracts fixed dispatch/fetch latency).  np.asarray forces real
     execution — on the tunneled device platform block_until_ready alone
     does not."""
+    import numpy as np
+
     from streammind_tpu.streaming.state import init_stream_state
 
     g, _ = engine.perceive_step(pixels, init_stream_state(engine.cfg))
@@ -68,11 +176,16 @@ def bench_engine(engine, pixels, n_small=10, n_large=110):
 
 
 def bench_engine_batch(engine, pixels, n_small=5, n_large=45):
+    if QUICK:
+        n_small, n_large = 1, 3
     """Seconds per batched tick of engine.perceive_step_batch (S streams)."""
+    import numpy as np
+
     from streammind_tpu.streaming.state import init_multistream_state
 
     s_streams = pixels.shape[0]
-    g, _ = engine.perceive_step_batch(pixels, init_multistream_state(engine.cfg, s_streams))
+    g, _ = engine.perceive_step_batch(
+        pixels, init_multistream_state(engine.cfg, s_streams))
     np.asarray(g)
 
     def run(n):
@@ -88,7 +201,63 @@ def bench_engine_batch(engine, pixels, n_small=5, n_large=45):
     return (t_large - t_small) / (n_large - n_small)
 
 
+def bench_decode_7b_int8():
+    """7B int8 single-token decode ms/token, slope-timed, at the worker's
+    default decode_unroll.  Runs LAST: it owns ~7.5 GB of HBM and minutes
+    of first-compile on the tunneled platform."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streammind_tpu.config import mistral_7b
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    cfg = mistral_7b()
+    shapes = jax.eval_shape(
+        lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    params = quantize_text_params(params, bits=8, free_source=True)
+
+    unroll = int(os.environ.get("STREAMMIND_BENCH_DECODE_UNROLL", "1"))
+
+    @jax.jit
+    def step(params, tok, cache):
+        logits, cache = lm.text_forward(
+            params, cfg, input_ids=tok[None, None], cache=cache, unroll=unroll
+        )
+        return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+
+    cache = lm.init_kv_cache(cfg, batch=1, capacity=1024, dtype=jnp.bfloat16)
+    cache = cache._replace(length=cache.length + 512)
+    tok = jnp.int32(7)
+    tok1, cache = step(params, tok, cache)
+    np.asarray(tok1)  # compile + sync
+
+    def run(n, cache):
+        t = tok
+        t0 = time.perf_counter()
+        for _ in range(n):
+            t, cache = step(params, t, cache)
+        np.asarray(t)
+        return time.perf_counter() - t0, cache
+
+    n_a, n_b = (1, 3) if QUICK else (5, 45)
+    a, cache = run(n_a, cache)
+    b, cache = run(n_b, cache)
+    RECORD["decode_ms_per_token_7b_int8"] = round((b - a) / (n_b - n_a) * 1e3, 2)
+
+
 def main():
+    if not wait_for_backend():
+        emit()
+        return
+
+    _apply_platform()
+    import jax
+    import jax.numpy as jnp
+
     from streammind_tpu.config import StreamMindConfig
     from streammind_tpu.streaming.engine import StreamMindEngine
 
@@ -99,43 +268,51 @@ def main():
         (1, 3, cfg.vision.image_size, cfg.vision.image_size),
         jnp.bfloat16,
     )
+    state = {}
 
-    # bit-faithful tier: the worker default (serve/model_worker.py)
-    eng_exact = StreamMindEngine(params, cfg)
-    s_exact = bench_engine(eng_exact, pixels)
-    del eng_exact
+    @tier("bit_faithful")
+    def t_exact():
+        # bit-faithful tier: the worker default (serve/model_worker.py)
+        eng = StreamMindEngine(params, cfg)
+        s = bench_engine(eng, pixels)
+        RECORD["perception_fps_bit_faithful"] = round(1.0 / s, 2)
+        del eng
 
-    # fast tier: --quantize-gate --fast-vision int8
-    eng_fast = StreamMindEngine(params, cfg, quantize_gate=True, fast_vision="int8")
-    s_fast = bench_engine(eng_fast, pixels)
+    @tier("fast")
+    def t_fast():
+        # fast tier: --quantize-gate --fast-vision int8
+        eng = StreamMindEngine(params, cfg, quantize_gate=True, fast_vision="int8")
+        s = bench_engine(eng, pixels)
+        fps = 1.0 / s
+        RECORD["value"] = round(fps, 2)
+        RECORD["vs_baseline"] = round(fps / 100.0, 3)
+        state["eng_fast"] = eng
 
-    # continuous-batched perception: S=8 live streams through ONE tick
-    # (BASELINE config 5's aggregate-throughput shape)
-    n_streams = 8
-    pixels8 = jax.random.normal(
-        jax.random.PRNGKey(2),
-        (n_streams, 3, cfg.vision.image_size, cfg.vision.image_size),
-        jnp.bfloat16,
-    )
-    s_batch = bench_engine_batch(eng_fast, pixels8)
-
-    fps_fast = 1.0 / s_fast
-    fps_exact = 1.0 / s_exact
-    fps_agg = n_streams / s_batch
-    print(
-        json.dumps(
-            {
-                "metric": "perception_fps_per_chip",
-                "value": round(fps_fast, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_fast / 100.0, 3),
-                "perception_fps_bit_faithful": round(fps_exact, 2),
-                "perception_fps_s8_aggregate": round(fps_agg, 2),
-                "tier": "fast (int8 gate + int8-MXU ViT), via "
-                        "StreamMindEngine.perceive_step",
-            }
+    @tier("s8_aggregate")
+    def t_batch():
+        # continuous-batched perception: S=8 live streams through ONE tick
+        n_streams = 8
+        pixels8 = jax.random.normal(
+            jax.random.PRNGKey(2),
+            (n_streams, 3, cfg.vision.image_size, cfg.vision.image_size),
+            jnp.bfloat16,
         )
-    )
+        s = bench_engine_batch(state["eng_fast"], pixels8)
+        RECORD["perception_fps_s8_aggregate"] = round(n_streams / s, 2)
+
+    @tier("decode_7b_int8")
+    def t_decode():
+        bench_decode_7b_int8()
+
+    t_exact()
+    t_fast()
+    t_batch()
+    state.clear()  # free the perception engines before the 7B alloc
+    if os.environ.get("STREAMMIND_BENCH_SKIP_DECODE") == "1":
+        RECORD.setdefault("errors", {})["decode_7b_int8"] = "skipped by env"
+        emit()
+    else:
+        t_decode()
 
 
 if __name__ == "__main__":

@@ -100,9 +100,9 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][input_ids]
 
 
-def _mlp(x, p, cfg: TextConfig):
+def _mlp(x, p, cfg: TextConfig, moe_dispatch=None):
     if cfg.num_experts > 1:
-        return _moe_mlp(x, p, cfg)
+        return _moe_mlp(x, p, cfg, moe_dispatch)
     g = jax.nn.silu(linear(x, p["mlp"]["gate"]))
     u = linear(x, p["mlp"]["up"])
     return linear(g * u, p["mlp"]["down"])
@@ -117,26 +117,37 @@ def _wrap_expert_leaf(leaf):
     return leaf if isinstance(leaf, dict) else {"weight": leaf}
 
 
-def _moe_mlp(x, p, cfg: TextConfig):
+def _moe_mlp(x, p, cfg: TextConfig, dispatch=None):
     """Mixtral sparse MoE.  Router softmax over top-k experts, renormalized
     (HF MixtralSparseMoeBlock semantics).
 
-    Two dispatches by static token count T = B*S:
+    Dispatch by static token count T = B*S, bank kind, and sharding:
       - T <= _MOE_GATHER_MAX_TOKENS (the decode hot path): per-token GATHER
         of the top-k experts' weights — reads k/E of the expert bytes per
         token instead of all E banks (decode is weight-bandwidth bound; at
         Mixtral 8x7B top-2 this is 4x less expert traffic per step).
-      - otherwise, plain-float banks on ONE device (the training path):
-        sort-by-expert GROUPED dispatch via lax.ragged_dot — exact (no
-        capacity-factor token dropping) while doing k/E of the dense
-        FLOPs/weight reads (_moe_apply_grouped).
-      - otherwise (quantized/LoRA-wrapped banks, or experts sharded over
-        the mesh's tp axis): dense one-hot scan over all experts —
-        correct everywhere, GSPMD-shardable over the expert axis (the
-        sharded grouped form needs a ragged all-to-all — ROADMAP).
+      - quantized/LoRA-wrapped banks: dense one-hot scan over all experts —
+        correct everywhere, GSPMD-shardable over the expert axis, composes
+        with int8/int4 and matmul-time LoRA through linear() (the grouped
+        forms below cannot express per-leaf linear() composition inside
+        ragged_dot — kept dense deliberately).
+      - plain-float banks, expert axis SHARDED over the mesh's tp axis
+        (E % tp == 0 and E/tp > k): shard_mapped grouped dispatch —
+        each device ragged_dots its LOCAL experts against its rows and a
+        psum over tp combines (_moe_apply_grouped_sharded).  When
+        E/tp <= k the grouped form does more FLOPs than dense per device
+        (each device pushes all T*k rows through one matrix vs T*E/tp
+        dense) — dense wins, used instead.
+      - plain-float banks on ONE device: sort-by-expert grouped dispatch
+        via lax.ragged_dot — exact (no capacity-factor token dropping)
+        while doing k/E of the dense FLOPs/weight reads
+        (_moe_apply_grouped).
 
-    Expert leaves go through utils.params.linear on the gather/scan paths,
-    so quantized (int8/int4) banks and matmul-time LoRA compose there.
+    `dispatch` selects explicitly (None = auto via the jax.set_mesh ambient
+    mesh): "dense" | "grouped" | a jax.sharding.Mesh (sharded grouped over
+    that mesh).  The serving engine passes this — its tensor-parallel path
+    shards params via NamedSharding with NO ambient mesh, so auto-detection
+    cannot see the sharding at trace time (ADVICE r4).
     """
     b, s, d = x.shape
     xt = x.reshape(b * s, d)
@@ -153,12 +164,36 @@ def _moe_mlp(x, p, cfg: TextConfig):
 
     plain = all(not isinstance(p["experts"][n], dict)
                 for n in ("gate", "up", "down"))
-    if plain and not _expert_axis_sharded():
+    mode = _resolve_moe_dispatch(dispatch, cfg) if plain else "dense"
+    if mode == "grouped":
         out = _moe_apply_grouped(xt, p["experts"], cfg, topi, topw)
-        return out.reshape(b, s, d)
-
-    out = _moe_apply_dense(xt, banks, cfg, topi, topw)
+    elif isinstance(mode, tuple):  # ("sharded_grouped", mesh)
+        out = _moe_apply_grouped_sharded(xt, p["experts"], cfg, topi, topw,
+                                         mode[1])
+    else:
+        out = _moe_apply_dense(xt, banks, cfg, topi, topw)
     return out.reshape(b, s, d)
+
+
+def _resolve_moe_dispatch(dispatch, cfg: TextConfig):
+    """Normalize a requested/auto MoE dispatch to "dense" | "grouped" |
+    ("sharded_grouped", mesh), applying the divisibility/FLOPs guards."""
+    mesh = None
+    if dispatch == "dense" or dispatch == "grouped":
+        return dispatch
+    if dispatch is not None:  # an explicit Mesh from the serving engine
+        mesh = dispatch
+    else:
+        from ..ops.attention import _ambient_mesh
+
+        mesh = _ambient_mesh()
+    tp = 1 if mesh is None else dict(mesh.shape).get("tp", 1)
+    if tp == 1:
+        return "grouped"
+    e_loc, rem = divmod(cfg.num_experts, tp)
+    if rem == 0 and e_loc > cfg.num_experts_per_tok:
+        return ("sharded_grouped", mesh)
+    return "dense"
 
 
 def _moe_apply_dense(xt, banks, cfg: TextConfig, topi, topw):
@@ -186,14 +221,81 @@ def _moe_apply_dense(xt, banks, cfg: TextConfig, topi, topw):
     return out
 
 
-def _expert_axis_sharded() -> bool:
-    """True under a jax.set_mesh whose tp axis is >1 — expert banks shard
-    on tp (parallel/partitioning.py RULES), and ragged_dot has no GSPMD
-    partitioning rule, so the sharded case keeps the dense scan."""
-    from ..ops.attention import _ambient_mesh
+def _moe_apply_grouped_sharded(xt, experts, cfg: TextConfig, topi, topw,
+                               mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
+    """Expert-parallel grouped dispatch over a sharded expert bank
+    (SURVEY §2.3 EP; reference bar is dense DeepSpeed MoE,
+    train_new_stream.py:770-771 — this does k/E_local of its FLOPs).
 
-    mesh = _ambient_mesh()
-    return mesh is not None and dict(mesh.shape).get("tp", 1) > 1
+    Expert banks live sharded (E on tp, in-dim on fsdp —
+    parallel/partitioning.py RULES).  shard_map splits the expert axis over
+    tp and gathers the fsdp in-dim shards at entry (ZeRO-3 gather-at-use);
+    rows ride the dp axis.  Each device then runs the SAME sort-by-expert
+    ragged_dot as the single-device grouped path, but only over its local
+    E/tp experts: rows are sorted by global expert id, rolled so the local
+    experts' contiguous block leads, and every non-local row is zeroed —
+    zero rows contribute zero through the matmuls, and the concluding
+    psum over tp sums each row's k expert outputs from their owner shards.
+    No token all-to-all is needed because rows enter replicated over tp
+    (batch shards on dp only, train/run.py); the tp communication is ONE
+    psum of the (T_local, D) output — the same collective the dense scan
+    pays, at k/E_local of its per-device FLOPs.
+
+    Every op here is differentiable (ragged_dot, roll-by-traced-shift,
+    scatter-add, psum), so the train step's backward flows through the
+    same form; grad parity vs the dense scan is tested on the 8-device
+    mesh (tests/test_moe.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    T, d = xt.shape
+    k = cfg.num_experts_per_tok
+    E = cfg.num_experts
+    shape = dict(mesh.shape)
+    tp = shape.get(tp_axis, 1)
+    e_loc = E // tp
+    # rows ride dp when it divides them; else they stay replicated (each
+    # dp shard repeats the row work — exactly what the dense scan does)
+    rows = P(dp_axis) if T % shape.get(dp_axis, 1) == 0 else P(None)
+    row_spec = P(*rows, None)
+
+    def local(xt, topi, topw, gate_e, up_e, down_e):
+        m = xt.shape[0] * k
+        flat_e = topi.reshape(-1)                    # (m,) global expert ids
+        order = jnp.argsort(flat_e)                  # stable
+        tok = order // k
+        xs = jnp.take(xt, tok, axis=0)               # (m, D) expert-sorted
+        sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        start_e = jax.lax.axis_index(tp_axis) * e_loc
+        csum = jnp.cumsum(sizes)
+        offset = jnp.where(start_e == 0, 0, csum[jnp.maximum(start_e - 1, 0)])
+        local_sizes = jax.lax.dynamic_slice(sizes, (start_e,), (e_loc,))
+        n_local = jnp.sum(local_sizes)
+        # local experts' rows lead; everything after them is another
+        # shard's row — zero it so it rides the last local group as a no-op
+        xs = jnp.roll(xs, -offset, axis=0)
+        keep = (jnp.arange(m) < n_local)[:, None]
+        xs = jnp.where(keep, xs, 0)
+        sizes_p = local_sizes.at[e_loc - 1].add(m - n_local)
+        gate_w = jnp.swapaxes(gate_e, 1, 2).astype(xt.dtype)   # (E_loc, D, F)
+        up_w = jnp.swapaxes(up_e, 1, 2).astype(xt.dtype)
+        down_w = jnp.swapaxes(down_e, 1, 2).astype(xt.dtype)   # (E_loc, F, D)
+        g = jax.lax.ragged_dot(xs, gate_w, sizes_p)
+        u = jax.lax.ragged_dot(xs, up_w, sizes_p)
+        y = jax.lax.ragged_dot(jax.nn.silu(g) * u, down_w, sizes_p)
+        y = jnp.roll(y, offset, axis=0)              # back to sorted order
+        w = jnp.take(topw.reshape(-1), order).astype(xt.dtype)
+        out = jnp.zeros_like(xt).at[tok].add(y * w[:, None])
+        return jax.lax.psum(out, tp_axis)
+
+    sm = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(row_spec, row_spec, row_spec,
+                  P(tp_axis, None, None), P(tp_axis, None, None),
+                  P(tp_axis, None, None)),
+        out_specs=row_spec, check_vma=False,
+    )
+    return sm(xt, topi, topw, experts["gate"], experts["up"], experts["down"])
 
 
 def _moe_apply_grouped(xt, experts, cfg: TextConfig, topi, topw):
@@ -309,8 +411,15 @@ def text_forward(
     remat: bool = False,
     sequence_axis: Optional[str] = None,
     unroll=1,
+    moe_dispatch=None,
 ):
     """Full forward over a token block.
+
+    moe_dispatch: MoE dispatch override — "dense" | "grouped" | a
+    jax.sharding.Mesh (expert-parallel sharded grouped over that mesh).
+    None = auto from the jax.set_mesh ambient mesh (see _moe_mlp).  The
+    serving engine passes this explicitly because its tensor-parallel path
+    has no ambient mesh at trace time.
 
     unroll: layer-scan unroll factor ("full" = every layer).  Single-token
     forwards (decode, the gate LM) are pure weight bandwidth; the rolled
@@ -348,7 +457,7 @@ def text_forward(
             )
             h = h + a
             y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
-            h = h + _mlp(y, lp, cfg)
+            h = h + _mlp(y, lp, cfg, moe_dispatch)
             return h, (ck, cv)
 
         x, (new_k, new_v) = jax.lax.scan(
@@ -365,7 +474,7 @@ def text_forward(
             )
             h = h + a
             y = rms_norm(h, lp["post_norm"]["weight"], cfg.rms_norm_eps)
-            h = h + _mlp(y, lp, cfg)
+            h = h + _mlp(y, lp, cfg, moe_dispatch)
             return h, None
 
         if sequence_axis is not None:

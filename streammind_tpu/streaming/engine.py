@@ -145,6 +145,15 @@ class StreamMindEngine:
         # program size, and at 7B over the tunneled platform that means
         # minutes of extra first-compile (use worker --prewarm).
         self.decode_unroll = decode_unroll
+        # MoE dispatch for the text forwards: the tensor-parallel serving
+        # path shards params via NamedSharding with NO jax.set_mesh ambient
+        # mesh, so _moe_mlp's auto-detection cannot see the sharding at
+        # trace time (ADVICE r4) — resolve from the engine's own mesh and
+        # pass explicitly (models/mistral.py _resolve_moe_dispatch applies
+        # the divisibility/FLOPs guards).
+        self.moe_dispatch = (
+            mesh if mesh is not None and cfg.text.num_experts > 1 else None
+        )
 
         # params are explicit jit ARGUMENTS, never closure captures: on the
         # remote-compile (tunneled) platform, arrays captured via `self`
@@ -310,7 +319,7 @@ class StreamMindEngine:
         embeds = splice_embeds(p["text"], token_ids, mem_index, use_mem, memory)
         logits, cache = lm.text_forward(
             p["text"], cfg.text, inputs_embeds=embeds, cache=cache,
-            cache_advance=real_len,
+            cache_advance=real_len, moe_dispatch=self.moe_dispatch,
         )
         idx = jnp.maximum(real_len - 1, 0).astype(jnp.int32)[:, None, None]
         last = jnp.take_along_axis(logits, idx, axis=1)[:, 0, :]
@@ -347,6 +356,7 @@ class StreamMindEngine:
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
                 unroll=self.decode_unroll,
+                moe_dispatch=self.moe_dispatch,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(sub, logits[0, -1], temperature, top_k, top_p)
@@ -417,6 +427,7 @@ class StreamMindEngine:
                 p["text"], cfg.text, input_ids=toks[:, None], cache=cache,
                 cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
                 unroll=self.decode_unroll,
+                moe_dispatch=self.moe_dispatch,
             )
             key, sub = jax.random.split(key)
             # temperature/top_k/top_p are per-row (K,) vectors here — each
@@ -512,7 +523,7 @@ class StreamMindEngine:
         p, cfg = params, self.cfg
         logits, cache = lm.text_forward(
             p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
-            unroll=self.decode_unroll,
+            unroll=self.decode_unroll, moe_dispatch=self.moe_dispatch,
         )
         nxt = sample_token(rng_key, logits[0, -1], temperature, top_k, top_p)
         return nxt, cache
@@ -549,7 +560,7 @@ class StreamMindEngine:
         """(K,) tokens, batch-K cache → ((K, V) logits, cache)."""
         logits, cache = lm.text_forward(
             params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache,
-            unroll=self.decode_unroll,
+            unroll=self.decode_unroll, moe_dispatch=self.moe_dispatch,
         )
         return logits[:, -1, :], cache
 
