@@ -156,7 +156,12 @@ def model_init(
         quantize_gate=quantize_gate, fast_vision=fast_vision,
         decode_unroll=decode_unroll,
     )
-    model = StreamMindModel(params=params, cfg=cfg, engine=engine,
+    # the bundle shares the ENGINE's param tree (qkv-fused vision, any
+    # serving-tier quantization applied): keeping the pre-transform tree
+    # here would leave both the fused and unfused encoder projections
+    # resident on device for the worker's lifetime (ADVICE r4).
+    # vit_forward handles the fused layout transparently.
+    model = StreamMindModel(params=engine.params, cfg=cfg, engine=engine,
                             model_path=model_path or "")
 
     if "vicuna" in model_name.lower():
@@ -198,7 +203,7 @@ def _prepare_cognition_inputs(model: StreamMindModel, video, instruct: str,
     # own counts): the plan below sizes the modal span from memory.shape[1]
     memory = proj_mod.project_memory(model.params["projector"], cfg, feats)
     if sample_type not in (None, "all") and memory.shape[1] > 1:
-        from .streaming.sampling import subsample_span_indices
+        from .streaming.memory_subsample import subsample_span_indices
 
         values = (np.asarray(memory[0]) if sample_type == "similarity"
                   else None)

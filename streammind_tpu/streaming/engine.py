@@ -26,7 +26,7 @@ from ..models import mistral as lm
 from ..models import projector as proj
 from ..models.meta import SplicePlan, build_splice_plan, bucket_length, splice_embeds
 from ..models.vit import vit_forward
-from .sample import sample_first_token, sample_token
+from .logit_filters import sample_first_token, sample_token
 from .state import StreamState
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
@@ -330,7 +330,7 @@ class StreamMindEngine:
         """Decode loop with early EOS exit, fixed token buffer.
 
         temperature <= 0 → greedy; else top-k/top-p/temperature sampling
-        (streaming/sample.py — the reference decode engine's filter set,
+        (streaming/logit_filters.py — the reference decode engine's filter set,
         generation.py:37-119; its __init__.py infer uses do_sample with
         temperature 0.2).
 
@@ -1222,7 +1222,7 @@ class StreamSession:
         if not span:
             span = [max(cur_clamped - 1, 0)]
         if self.sample_type not in (None, "all"):
-            from .sampling import subsample_span
+            from .memory_subsample import subsample_span
 
             span = subsample_span(
                 span, self.state.memory, self.sample_type, self.sample_per

@@ -91,13 +91,5 @@ def sample_first_token(key, logits, temperature=0.0, top_k=0, top_p=0.0):
     )
 
 
-def row_knobs(slots_or_values, attr=None, n=None, pad_value=0.0, dtype=jnp.float32):
-    """Build a per-row (K,) knob vector for the batched decode loops from a
-    list of slot objects (reading `attr`) or raw values; pads to n rows."""
-    if attr is not None:
-        vals = [getattr(s, attr) for s in slots_or_values]
-    else:
-        vals = list(slots_or_values)
-    if n is not None:
-        vals = vals + [pad_value] * (n - len(vals))
-    return jnp.asarray(vals, dtype)
+# (per-row knob-vector building for the batched decode loops lives in
+# engine._knob_rows — the single builder all batched paths share)

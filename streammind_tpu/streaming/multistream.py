@@ -129,10 +129,10 @@ class MultiStreamServer:
         temperature: float = 0.0, top_k: int = 0, top_p: float = 0.0,
         sample_type: str = "all", sample_per: float = 0.5,
     ) -> int:
-        """Attach a live stream.  Batched cognition unions every fired
-        row's stop-id matrix into ONE matcher, so all streams of a server
-        should share a tokenizer (heterogeneous tokenizers risk one
-        stream's stop token ids spuriously halting another row's decode)."""
+        """Attach a live stream.  Batched cognition stacks each fired
+        row's stop-id matrix into a PER-ROW matcher (engine.stack_stop_ids),
+        so streams with heterogeneous tokenizers are safe: one stream's
+        stop token ids can never halt another row's decode."""
         if any(s is not None and s.stream_id == stream_id for s in self.slots):
             raise ValueError(f"stream id {stream_id!r} is already attached")
         for i, s in enumerate(self.slots):
@@ -251,7 +251,7 @@ class MultiStreamServer:
         start = min(slot.last_fire, cur)
         span = list(range(start, cur)) or [max(cur - 1, 0)]
         if slot.sample_type not in (None, "all"):
-            from .sampling import subsample_span
+            from .memory_subsample import subsample_span
 
             span = subsample_span(
                 span, self.state.memory[i : i + 1], slot.sample_type,

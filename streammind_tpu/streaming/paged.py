@@ -39,7 +39,7 @@ from ..ops.pallas_utils import interpret_mode
 from ..ops.norms import rms_norm
 from ..ops.rotary import apply_rope, rope_cos_sin
 from ..utils.params import linear
-from .sample import sample_token
+from .logit_filters import sample_token
 
 
 class PagedKV(NamedTuple):
@@ -463,7 +463,7 @@ class PagedDialogues:
             )
             length = length + jnp.where(done, 0, 1).astype(jnp.int32)
             key, sub = jax.random.split(key)
-            # per-row (K,) sampling knobs (streaming/sample.py — the
+            # per-row (K,) sampling knobs (streaming/logit_filters.py — the
             # reference decode engine's top-k/top-p/temperature filters)
             nxt = sample_token(sub, logits[:, -1], temperature, top_k, top_p)
             limit_hit = i + 1 >= limits
@@ -542,7 +542,7 @@ class PagedDialogues:
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         from .engine import _EMPTY_STOP_IDS, _knob_rows
-        from .sample import sample_first_token
+        from .logit_filters import sample_first_token
 
         K = len(dids)
         temp_arr = _knob_rows(temperature, K, jnp.float32)

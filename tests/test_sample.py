@@ -1,6 +1,6 @@
 """Top-k/top-p/temperature sampling-filter parity tests.
 
-Cross-checks streaming/sample.py against an independent torch mirror of the
+Cross-checks streaming/logit_filters.py against an independent torch mirror of the
 reference decode engine's filters
 (/root/reference/streammind/model/mamba_ssm/utils/generation.py:37-119):
 top-k mask -> temperature scaling -> nucleus filtering over the scaled
@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 import torch
 
-from streammind_tpu.streaming.sample import (
+from streammind_tpu.streaming.logit_filters import (
     filtered_logits,
     sample_first_token,
     sample_token,

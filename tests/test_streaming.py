@@ -159,7 +159,7 @@ def test_multistream_batched_perceive(setup, rng):
 
 
 def test_memory_subsampling(rng):
-    from streammind_tpu.streaming.sampling import (
+    from streammind_tpu.streaming.memory_subsample import (
         exponential_sampling,
         similarity_sampling,
         subsample_memory,
