@@ -401,6 +401,49 @@ def frame_expansion(frames: Sequence["Image.Image"], n: int) -> "Image.Image":
     return create_photo_grid(frames, n)
 
 
+def chunk_list(input_list, chunk_size: int):
+    """Split a list into consecutive chunk_size pieces (reference
+    mm_utils.py:235-236)."""
+    return [input_list[i:i + chunk_size]
+            for i in range(0, len(input_list), chunk_size)]
+
+
+def process_video_taug(
+    video: Union[str, np.ndarray],
+    num_frames: int = NUM_FRAMES,
+    grid: int = 2,
+    aspect_ratio: str = "pad",
+    image_size: int = CLIP_IMAGE_SIZE,
+) -> np.ndarray:
+    """Temporal-augmentation photo-grid sampling (the reference worker's
+    use_taug branch, serve/model_worker.py:196-203): sample
+    num_frames*grid² frames linearly across the video, paste each
+    consecutive grid² chunk into one grid×grid photo-grid, and preprocess
+    the resulting num_frames grid images — grid²× the temporal coverage at
+    the same spliced frame count.
+
+    Accepts a video path (decoded like process_video) or raw frames
+    (T, H, W, 3); raw inputs are resampled to num_frames*grid² linearly
+    when their count differs."""
+    n_sample = num_frames * grid * grid
+    if isinstance(video, str):
+        duration, _ = video_metadata(video)
+        ids = list(np.linspace(0, duration - 1, n_sample, dtype=int))
+        video_data = read_video_frames(video, ids)
+    else:
+        video_data = np.asarray(video)
+        if video_data.ndim == 3:
+            video_data = video_data[None]
+    frames = frames_to_pil(video_data)
+    if len(frames) != n_sample:
+        idx = np.linspace(0, len(frames) - 1, n_sample).astype(int)
+        frames = [frames[i] for i in idx]
+    grids = [frame_expansion(chunk, grid)
+             for chunk in chunk_list(frames, grid * grid)]
+    return clip_preprocess(grids, image_size=image_size,
+                           pad_square=(aspect_ratio == "pad"))
+
+
 def load_image_from_base64(data: str) -> "Image.Image":
     """base64 string → PIL image (reference mm_utils.py:199-200; the serve
     worker's image transport format)."""

@@ -58,6 +58,8 @@ class ModelWorker:
         model_base: Optional[str] = None,  # base decoder for LoRA /
         # adapter checkpoints (reference --model-base)
         decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
+        use_taug: Optional[bool] = None,  # temporal-aug photo grid; None =
+        # model-path substring, like the reference worker
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -87,6 +89,12 @@ class ModelWorker:
             self.processor, self.version = None, "llama_2"
         self.model = model
         self.tokenizer = tokenizer
+        # temporal-augmentation grid sampling for one-shot video requests
+        # (reference serve/model_worker.py:196-203 gates it on "use_taug"
+        # in the model path; --use-taug overrides explicitly)
+        self.use_taug = (
+            "use_taug" in (model_path or "") if use_taug is None else use_taug
+        )
 
         # multistream_capacity > 0: live sessions share one batched
         # MultiStreamServer via the micro-batching broker (serve/broker.py)
@@ -180,9 +188,28 @@ class ModelWorker:
             arr = np.load(io.BytesIO(raw))
             return arr["pixels"] if hasattr(arr, "files") else np.asarray(arr)
         if "video_path" in params and self.processor is not None:
+            if self.use_taug:
+                from ..mm_utils import process_video_taug
+
+                return process_video_taug(
+                    params["video_path"],
+                    image_size=self.model.cfg.vision.image_size,
+                )
             return self.processor(params["video_path"])
         if "video" in params:
-            return np.asarray(params["video"], np.float32)
+            arr = np.asarray(params["video"])
+            if arr.ndim == 4 and arr.shape[-1] == 3 and arr.shape[1] != 3:
+                # raw (T, H, W, 3) frames — run the worker's video
+                # preprocessing (the reference always process_videos()es
+                # decoded frames), with the taug grid when enabled
+                from ..mm_utils import process_video, process_video_taug
+
+                arr = arr.astype(np.uint8)  # JSON transport widens to int64
+                size = self.model.cfg.vision.image_size
+                if self.use_taug:
+                    return process_video_taug(arr, image_size=size)
+                return process_video(arr, image_size=size)
+            return arr.astype(np.float32)
         if "images" in params:
             # reference worker protocol: a list of base64 images / arrays
             from io import BytesIO
@@ -232,6 +259,7 @@ class ModelWorker:
         input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_index)
 
         pixels = jnp.asarray(video, api.engine_dtype(model))
+        n_frames = int(pixels.shape[0])  # spliced frame count (taug grids count once)
         feats = encode_frames(model.params, cfg, pixels)
         memory = proj_mod.project_memory(model.params["projector"], cfg, feats)
         T = memory.shape[1]
@@ -276,9 +304,11 @@ class ModelWorker:
                 return
             if stop_str and stop_str in text:
                 text = text.split(stop_str)[0]
-                yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
+                yield json.dumps({"text": text, "error_code": 0,
+                                  "frames": n_frames}).encode() + b"\0"
                 return
-            yield json.dumps({"text": text, "error_code": 0}).encode() + b"\0"
+            yield json.dumps({"text": text, "error_code": 0,
+                              "frames": n_frames}).encode() + b"\0"
 
     # -- live streaming-video sessions (the event-gated product loop) -------
     MAX_SESSIONS = 16
@@ -530,6 +560,12 @@ def main():
                              "bandwidth bound and unrolling lets XLA "
                              "pipeline the per-layer fetches, at the cost "
                              "of a bigger decode program to compile")
+    parser.add_argument("--use-taug", action="store_true", default=None,
+                        help="temporal-augmentation photo grid for one-shot "
+                             "video requests: 8*2*2 linearly sampled frames "
+                             "pasted into 8 2x2 grids (default: enabled "
+                             "when 'use_taug' is in the model path, like "
+                             "the reference worker)")
     parser.add_argument("--prewarm", action="store_true",
                         help="compile the batched perception program at "
                              "startup (first-tick compile takes minutes at "
@@ -554,6 +590,7 @@ def main():
         prewarm=args.prewarm,
         model_base=args.model_base,
         decode_unroll=args.decode_unroll,
+        use_taug=args.use_taug,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -252,3 +252,60 @@ def test_streaming_session_http(rng):
     bad = post("/stream_session/frame", {"session_id": "nope", "pixels": frame})
     assert bad["error_code"] == 4
     wserver.shutdown()
+
+
+@pytest.mark.slow
+def test_worker_taug_grid_path(rng):
+    """The reference worker's use_taug branch (model_worker.py:196-203):
+    raw frames posted to a taug worker get resampled to 8*2*2, pasted into
+    8 photo grids, and spliced as 8 frames; the same input without taug
+    splices every frame.  The response's `frames` field exposes the
+    spliced count."""
+    cfg = tiny_streammind_config()
+    tok = SPLikeTokenizer()
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=tok, dtype=jax.numpy.float32
+    )
+    wport = _free_port()
+    worker = ModelWorker(
+        controller_addr="", worker_addr=f"http://127.0.0.1:{wport}",
+        model_path="", model_name="tiny", model=model, tokenizer=tok,
+        no_register=True, use_taug=True,
+    )
+    assert worker.use_taug is True
+    # the reference's model-path substring gate resolves the default
+    assert ModelWorker.__init__.__defaults__ is not None  # use_taug=None default
+    wserver = serve_worker(worker, "127.0.0.1", wport)
+    t = threading.Thread(target=wserver.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.2)
+
+    raw = (rng.random((12, 20, 20, 3)) * 255).astype(np.uint8)
+    payload = {
+        "prompt": "[INST] <video>\n describe [/INST]",
+        "video": raw.tolist(),
+        "max_new_tokens": 2,
+        "temperature": 0.0,
+    }
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{wport}/worker_generate_stream",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = resp.read()
+        return [json.loads(c.decode()) for c in body.split(b"\0") if c]
+
+    chunks = post()
+    assert chunks and all(c["error_code"] == 0 for c in chunks)
+    # taug: 12 raw frames -> resampled to 8*2*2=32 -> 8 spliced 2x2 grids
+    assert chunks[-1]["frames"] == 8
+
+    worker.use_taug = False
+    chunks = post()
+    assert chunks and all(c["error_code"] == 0 for c in chunks)
+    assert chunks[-1]["frames"] == 12  # every raw frame spliced
+
+    wserver.shutdown()
