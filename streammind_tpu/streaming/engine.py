@@ -70,6 +70,7 @@ class StreamMindEngine:
         fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
         mesh=None,
         decode_unroll=1,
+        split_perceive: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh — tensor-parallel SERVING.  The
         params are placed by the partitioning rules and all engine-created
@@ -159,7 +160,14 @@ class StreamMindEngine:
         # remote-compile (tunneled) platform, arrays captured via `self`
         # are baked into the program payload — at full size that means
         # minutes of host serialization and a multi-GB compile request.
+        # split_perceive: run the B=1 tick as the same two dispatched
+        # programs as the batched tick (vision, then projector+gate+state)
+        # instead of one fused program — knob for measuring the fused-
+        # program scheduling pathology at B=1 (see the batched-tick note
+        # below); default stays fused (B=1 measured no pathology in r4).
+        self.split_perceive = split_perceive
         self._perceive = jax.jit(self._perceive_impl, donate_argnums=(2,))
+        self._perceive_post = jax.jit(self._perceive_post_impl, donate_argnums=(2,))
         # the batched tick runs as TWO programs (vision, then
         # mamba+gate+state), dispatched back-to-back: measured on v5e at
         # S=8, the single fused program costs ~25.5 ms while its stages
@@ -202,7 +210,33 @@ class StreamMindEngine:
         return gate_probs, new_state
 
     def perceive_step(self, pixels, state: StreamState):
+        if self.split_perceive:
+            feats = self._perceive_batch_vision(self.params, pixels)
+            return self._perceive_post(self.params, feats, state)
         return self._perceive(self.params, pixels, state)
+
+    def _perceive_post_impl(self, params, feats, state: StreamState):
+        """Program 2 of the SPLIT B=1 tick (split_perceive=True): projector
+        step + gate + ring write on precomputed ViT features — the same
+        two-program shape as the batched tick, for measuring whether the
+        fused-program scheduling pathology (see __init__) also taxes B=1."""
+        p, cfg = params, self.cfg
+        mem_tok, mamba_state = proj.mamba_project_step(
+            p["projector"], cfg, feats, state.mamba
+        )
+        logits = proj.gate_decision_step(p["projector"], cfg, mem_tok)
+        gate_probs = jax.nn.softmax(logits[0].astype(jnp.float32))
+        slot = jnp.minimum(state.frame_idx, cfg.max_stream_frames - 1)
+        memory = jax.lax.dynamic_update_slice(
+            state.memory, mem_tok[:, None, :].astype(state.memory.dtype), (0, slot, 0)
+        )
+        new_state = StreamState(
+            mamba=mamba_state,
+            memory=memory,
+            frame_idx=state.frame_idx + 1,
+            last_fire=state.last_fire,
+        )
+        return gate_probs, new_state
 
     def _perceive_batch_vision_impl(self, params, pixels):
         """Program 1 of the batched tick: the vision tower alone (see the

@@ -334,3 +334,35 @@ def test_sharded_grouped_dispatch_matches_dense(moe_setup):
     )(xt_s, ex)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_grouped_under_remat_trains(moe_setup):
+    """The train step's exact composition around the sharded grouped
+    dispatch: text_forward (layer scan + remat) under jax.set_mesh with
+    tp-sharded expert banks — value_and_grad must compile, run, and stay
+    finite with the sharded_grouped form selected."""
+    from streammind_tpu.parallel import make_mesh, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = _moe_cfg(num_experts=8, top_k=2)
+    params = lm.init_text_params(jax.random.PRNGKey(7), cfg, jnp.float32)
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    with jax.set_mesh(mesh):
+        assert lm._resolve_moe_dispatch(None, cfg)[0] == "sharded_grouped"
+        sharded = shard_params({"text": params}, mesh)["text"]
+        ids = jax.device_put(
+            jnp.tile(jnp.arange(16)[None], (2, 1)) % cfg.vocab_size,
+            NamedSharding(mesh, P("dp")),
+        )
+
+        def loss(p, ids):
+            logits, _ = lm.text_forward(p, cfg, input_ids=ids, remat=True)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(sharded, ids)
+        assert np.isfinite(float(val))
+        gnorm = float(
+            jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                         for g in jax.tree.leaves(grads)))
+        )
+        assert np.isfinite(gnorm) and gnorm > 0

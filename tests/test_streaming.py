@@ -60,6 +60,26 @@ def test_perceive_step_updates_state(setup, rng):
     assert float(jnp.abs(state.memory[0, 1]).sum()) == 0
 
 
+def test_split_perceive_matches_fused(setup, rng):
+    """split_perceive=True (two dispatched programs, the batched tick's
+    shape) must produce the exact same gate probs and carried state as the
+    fused B=1 program."""
+    cfg, params, engine = setup
+    split_engine = StreamMindEngine(params, cfg, eos_token_id=2,
+                                    prefill_buckets=(32, 64),
+                                    split_perceive=True)
+    frames = [_frame(rng, cfg) for _ in range(3)]
+    s_a, s_b = init_stream_state(cfg), init_stream_state(cfg)
+    for f in frames:
+        p_a, s_a = engine.perceive_step(f, s_a)
+        p_b, s_b = split_engine.perceive_step(f, s_b)
+        np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_a, s_b,
+    )
+
+
 def test_prefill_decode_matches_full_forward(setup, rng):
     """Bucketed prefill + greedy while-loop decode == naive full re-forward
     greedy decoding (the correctness contract of the cognition program)."""

@@ -1,0 +1,142 @@
+"""Round-5 chip experiments (run SOLO on the tunneled TPU, one subcommand
+per process — chip work must be strictly serialized):
+
+  python tools/chip_r5.py perceive   # B=1 fused vs split, both tiers
+  python tools/chip_r5.py scaling    # batched tick S in {8, 16, 32}
+  python tools/chip_r5.py stages     # B=1 stage profile (vit/mamba/gate)
+
+(decode unroll sweep: _sweep_unroll.py; full record: bench.py;
+paged serving drive: bench_paged_serving.py)
+
+All timings use the slope method — np.asarray forces execution on the
+tunneled platform; block_until_ready alone does not (verify SKILL.md).
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope(fn, n_small, n_large):
+    fn(1)  # warm/compile
+    a, b = fn(n_small), fn(n_large)
+    return (b - a) / (n_large - n_small)
+
+
+def build():
+    from bench import build_params
+    from streammind_tpu.config import StreamMindConfig
+
+    cfg = StreamMindConfig()
+    return cfg, build_params(cfg)
+
+
+def frame(cfg, s=1, seed=1):
+    return jax.random.normal(
+        jax.random.PRNGKey(seed),
+        (s, 3, cfg.vision.image_size, cfg.vision.image_size), jnp.bfloat16,
+    )
+
+
+def run_perceive():
+    from streammind_tpu.streaming.engine import StreamMindEngine
+    from streammind_tpu.streaming.state import init_stream_state
+
+    cfg, params = build()
+    px = frame(cfg)
+    for tier, kw in [("bit_faithful", {}),
+                     ("fast", dict(quantize_gate=True, fast_vision="int8"))]:
+        for split in (False, True):
+            eng = StreamMindEngine(params, cfg, split_perceive=split, **kw)
+
+            def bench(n):
+                s = init_stream_state(cfg)
+                g = None
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    g, s = eng.perceive_step(px, s)
+                np.asarray(g)
+                return time.perf_counter() - t0
+
+            sec = slope(bench, 10, 110)
+            print(f"{tier} split={split}: {sec*1e3:.2f} ms/frame "
+                  f"({1/sec:.1f} fps)", flush=True)
+            del eng
+
+
+def run_scaling():
+    from streammind_tpu.streaming.engine import StreamMindEngine
+    from streammind_tpu.streaming.state import init_multistream_state
+
+    cfg, params = build()
+    eng = StreamMindEngine(params, cfg, quantize_gate=True, fast_vision="int8")
+    for s_streams in (8, 16, 32):
+        px = frame(cfg, s_streams, seed=2)
+
+        def bench(n):
+            st = init_multistream_state(cfg, s_streams)
+            g = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                g, st = eng.perceive_step_batch(px, st)
+            np.asarray(g)
+            return time.perf_counter() - t0
+
+        sec = slope(bench, 5, 45)
+        print(f"S={s_streams}: {sec*1e3:.2f} ms/tick "
+              f"({s_streams/sec:.1f} fps aggregate)", flush=True)
+
+
+def run_stages():
+    from streammind_tpu.models import projector as proj
+    from streammind_tpu.models.vit import fuse_vit_qkv, vit_forward
+    from streammind_tpu.streaming.state import init_stream_state
+
+    cfg, params = build()
+    vision = fuse_vit_qkv(params["vision"])
+    px = frame(cfg)
+    st = init_stream_state(cfg)
+
+    vit = jax.jit(lambda p, x: vit_forward(p, cfg.vision, x, unroll="full"))
+    feats = vit(vision, px)
+
+    def b_vit(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            f = vit(vision, px)
+        np.asarray(f)
+        return time.perf_counter() - t0
+
+    mamba = jax.jit(
+        lambda p, f, s: proj.mamba_project_step(p, cfg, f, s))
+    tok, _ = mamba(params["projector"], feats, st.mamba)
+
+    def b_mamba(n):
+        t = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            t, _ = mamba(params["projector"], feats, st.mamba)
+        np.asarray(t)
+        return time.perf_counter() - t0
+
+    gate = jax.jit(lambda p, t: proj.gate_decision_step(p, cfg, t))
+
+    def b_gate(n):
+        g = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            g = gate(params["projector"], tok)
+        np.asarray(g)
+        return time.perf_counter() - t0
+
+    for name, fn, (a, b) in [("vit", b_vit, (10, 110)),
+                             ("mamba_step", b_mamba, (10, 110)),
+                             ("gate", b_gate, (10, 110))]:
+        print(f"{name}: {slope(fn, a, b)*1e3:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    {"perceive": run_perceive, "scaling": run_scaling,
+     "stages": run_stages}[sys.argv[1]]()
