@@ -137,6 +137,48 @@ def run_stages():
         print(f"{name}: {slope(fn, a, b)*1e3:.3f} ms", flush=True)
 
 
+def run_vitattn():
+    """ViT attention-impl shootout at B=1 (and B=8): the reference jnp path
+    materializes (H, 577, 577) fp32 logits + probs per layer (~1.5 GB/frame
+    of HBM traffic over 24 layers) — flash keeps the online softmax in VMEM.
+    Reports per-impl ms and rms vs the fp32 reference output."""
+    from streammind_tpu.models.vit import fuse_vit_qkv, vit_forward
+    from streammind_tpu.utils.quantize import quantize_vit_params
+
+    cfg, params = build()
+    trees = {
+        "bf16": fuse_vit_qkv(params["vision"]),
+        "int8": fuse_vit_qkv(quantize_vit_params(params["vision"])),
+    }
+    for batch in (1, 8):
+        px = frame(cfg, batch)
+        ref = None
+        for tree_name, tree in trees.items():
+            impls = (["auto", "flash", "bf16"] if tree_name == "bf16"
+                     else ["bf16", "flash"])
+            for impl in impls:
+                fwd = jax.jit(lambda p, x, _i=impl: vit_forward(
+                    p, cfg.vision, x, attn_impl=_i, unroll="full"))
+
+                def bench(n, _fwd=fwd, _tree=tree, _px=px):
+                    f = None
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        f = _fwd(_tree, _px)
+                    np.asarray(f)
+                    return time.perf_counter() - t0
+
+                sec = slope(bench, 10, 60)
+                out = np.asarray(fwd(tree, px), np.float32)
+                if ref is None:
+                    ref = out  # bf16 tree + fp32-softmax reference
+                rms = float(np.sqrt(np.mean((out - ref) ** 2))
+                            / (np.sqrt(np.mean(ref ** 2)) + 1e-9))
+                print(f"B={batch} vit[{tree_name}] impl={impl}: "
+                      f"{sec*1e3:.2f} ms  (rms vs fp32-ref {rms:.2e})",
+                      flush=True)
+
+
 if __name__ == "__main__":
     {"perceive": run_perceive, "scaling": run_scaling,
-     "stages": run_stages}[sys.argv[1]]()
+     "stages": run_stages, "vitattn": run_vitattn}[sys.argv[1]]()
