@@ -1,5 +1,7 @@
-"""Chip sweep: decode ms/token at 7B int8 for decode_unroll in {1, 4, 8, full},
-plus compile-time per variant.  Slope-timed.  Run solo on the chip."""
+"""Chip sweep: decode ms/token at 7B for decode_unroll in {1, 4, 8, full}
+at int8 AND int4 weights, plus compile-time per variant.  Slope-timed.
+Run solo on the chip.  (VERDICT r4 item 3: measure decode_unroll or
+remove it; target <= 10 ms/tok — the ~8.6 ms int8 weight-read bound.)"""
 import sys
 import time
 
@@ -14,43 +16,48 @@ def main():
     from streammind_tpu.utils.quantize import quantize_text_params
 
     cfg = mistral_7b()
-    shapes = jax.eval_shape(
-        lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
-    )
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-    params = quantize_text_params(params, bits=8, free_source=True)
-
     CAPACITY = 1024
 
-    for unroll in [1, 4, 8, "full"]:
-        @jax.jit
-        def step(params, tok, cache, _u=unroll):
-            logits, cache = lm.text_forward(
-                params, cfg, input_ids=tok[None, None], cache=cache, unroll=_u
-            )
-            return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+    bits_list = [int(b) for b in (sys.argv[1:] or ["8", "4"])]
+    for bits in bits_list:
+        shapes = jax.eval_shape(
+            lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+        params = quantize_text_params(params, bits=bits, free_source=True)
 
-        cache = lm.init_kv_cache(cfg, batch=1, capacity=CAPACITY, dtype=jnp.bfloat16)
-        cache = cache._replace(length=cache.length + 512)
-        tok = jnp.int32(7)
-        t0 = time.perf_counter()
-        tok1, cache = step(params, tok, cache)
-        np.asarray(tok1)
-        compile_s = time.perf_counter() - t0
+        for unroll in [1, 4, 8, "full"]:
+            @jax.jit
+            def step(params, tok, cache, _u=unroll):
+                logits, cache = lm.text_forward(
+                    params, cfg, input_ids=tok[None, None], cache=cache, unroll=_u
+                )
+                return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
 
-        def run(n, cache):
-            t = tok
+            cache = lm.init_kv_cache(cfg, batch=1, capacity=CAPACITY,
+                                     dtype=jnp.bfloat16)
+            cache = cache._replace(length=cache.length + 512)
+            tok = jnp.int32(7)
             t0 = time.perf_counter()
-            for _ in range(n):
-                t, cache = step(params, t, cache)
-            np.asarray(t)
-            return time.perf_counter() - t0, cache
+            tok1, cache = step(params, tok, cache)
+            np.asarray(tok1)
+            compile_s = time.perf_counter() - t0
 
-        a, cache = run(5, cache)
-        b, cache = run(45, cache)
-        ms = (b - a) / 40 * 1e3
-        print(f"unroll={unroll}: {ms:.2f} ms/token (compile {compile_s:.0f}s)",
-              flush=True)
+            def run(n, cache):
+                t = tok
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    t, cache = step(params, t, cache)
+                np.asarray(t)
+                return time.perf_counter() - t0, cache
+
+            a, cache = run(5, cache)
+            b, cache = run(45, cache)
+            ms = (b - a) / 40 * 1e3
+            print(f"int{bits} unroll={unroll}: {ms:.2f} ms/token "
+                  f"(compile {compile_s:.0f}s)", flush=True)
+            del cache
+        del params
 
 
 if __name__ == "__main__":
