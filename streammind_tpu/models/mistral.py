@@ -254,9 +254,10 @@ def _moe_apply_grouped_sharded(xt, experts, cfg: TextConfig, topi, topw,
     shape = dict(mesh.shape)
     tp = shape.get(tp_axis, 1)
     e_loc = E // tp
-    # rows ride dp when it divides them; else they stay replicated (each
-    # dp shard repeats the row work — exactly what the dense scan does)
-    rows = P(dp_axis) if T % shape.get(dp_axis, 1) == 0 else P(None)
+    # rows ride dp when the mesh has it and it divides them; else they stay
+    # replicated (each dp shard repeats the row work, like the dense scan)
+    dp = shape.get(dp_axis, 1)
+    rows = P(dp_axis) if (dp > 1 and T % dp == 0) else P(None)
     row_spec = P(*rows, None)
 
     def local(xt, topi, topw, gate_e, up_e, down_e):

@@ -366,3 +366,26 @@ def test_sharded_grouped_under_remat_trains(moe_setup):
                          for g in jax.tree.leaves(grads)))
         )
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_sharded_grouped_tp_only_mesh(moe_setup):
+    """A mesh with ONLY a tp axis (no dp): rows must stay replicated in the
+    shard_map specs instead of referencing a nonexistent dp axis."""
+    from jax.sharding import Mesh
+
+    cfg = _moe_cfg(num_experts=8, top_k=1)  # E/tp=2 > k=1: eligible
+    params = lm.init_text_params(jax.random.PRNGKey(8), cfg, jnp.float32)
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    T = 10  # deliberately not divisible by anything interesting
+    xt = jax.random.normal(jax.random.PRNGKey(9), (T, cfg.hidden_size), jnp.float32)
+    logits = xt @ lp["router"]["weight"].T
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    banks = tuple({"weight": lp["experts"][n]} for n in ("gate", "up", "down"))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    dense = lm._moe_apply_dense(xt, banks, cfg, topi, topw)
+    out = lm._moe_apply_grouped_sharded(xt, lp["experts"], cfg, topi, topw, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
