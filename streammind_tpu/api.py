@@ -90,6 +90,9 @@ def model_init(
     # base+mm_projector.bin checkpoints (the reference's --model-base,
     # model/builder.py:60-142)
     decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
+    vit_attn: str = "auto",  # ViT attention impl: auto (fp32-softmax jnp
+    # reference) | flash (Pallas online softmax, fp32 accumulation — skips
+    # the materialized S^2 logits/probs HBM traffic) | bf16
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 
@@ -154,7 +157,7 @@ def model_init(
     engine = StreamMindEngine(
         params, cfg, eos_token_id=eos_id,
         quantize_gate=quantize_gate, fast_vision=fast_vision,
-        decode_unroll=decode_unroll,
+        decode_unroll=decode_unroll, attn_impl=vit_attn,
     )
     # the bundle shares the ENGINE's param tree (qkv-fused vision, any
     # serving-tier quantization applied): keeping the pre-transform tree

@@ -60,6 +60,7 @@ class ModelWorker:
         decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
         use_taug: Optional[bool] = None,  # temporal-aug photo grid; None =
         # model-path substring, like the reference worker
+        vit_attn: str = "auto",  # ViT attention impl (see api.model_init)
     ):
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -83,7 +84,7 @@ class ModelWorker:
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
                 load_8bit=load_8bit, load_4bit=load_4bit, model_base=model_base,
-                decode_unroll=decode_unroll,
+                decode_unroll=decode_unroll, vit_attn=vit_attn,
             )
         else:
             self.processor, self.version = None, "llama_2"
@@ -560,6 +561,12 @@ def main():
                              "bandwidth bound and unrolling lets XLA "
                              "pipeline the per-layer fetches, at the cost "
                              "of a bigger decode program to compile")
+    parser.add_argument("--vit-attn", choices=["auto", "flash", "bf16"],
+                        default="auto",
+                        help="ViT attention impl: auto = fp32-softmax jnp "
+                             "reference; flash = Pallas online softmax "
+                             "(fp32 accumulation, no materialized S^2 "
+                             "traffic); bf16 = fast-tier softmax")
     parser.add_argument("--use-taug", action="store_true", default=None,
                         help="temporal-augmentation photo grid for one-shot "
                              "video requests: 8*2*2 linearly sampled frames "
@@ -591,6 +598,7 @@ def main():
         model_base=args.model_base,
         decode_unroll=args.decode_unroll,
         use_taug=args.use_taug,
+        vit_attn=args.vit_attn,
     )
     server = serve_worker(worker, args.host, args.port)
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -583,3 +583,22 @@ def test_batched_perceive_feed_mask_freezes_unfed(setup, rng):
         assert np.abs(np.asarray(st2.memory[s, 1])).sum() > 0
         np.testing.assert_array_equal(np.asarray(st2.memory[s, 0]),
                                       before.memory[s, 0])
+
+
+def test_vit_flash_attn_tier(setup, rng):
+    """vit_attn='flash' (Pallas online softmax, fp32 accumulation) must run
+    the perceive path and agree with the fp32-softmax reference tier within
+    bf16 rounding."""
+    import streammind_tpu
+
+    cfg, params, engine = setup
+    model, _, _, _ = streammind_tpu.model_init(
+        cfg=cfg, params=params, tokenizer=FakeTokenizer(), vit_attn="flash",
+        dtype=jnp.float32,
+    )
+    assert model.engine.attn_impl == "flash"
+    f = _frame(rng, cfg)
+    p_ref, _ = engine.perceive_step(f, init_stream_state(cfg))
+    p_fl, _ = model.engine.perceive_step(f, init_stream_state(cfg))
+    np.testing.assert_allclose(np.asarray(p_fl), np.asarray(p_ref),
+                               rtol=0.05, atol=0.02)
