@@ -18,13 +18,18 @@ def main():
     cfg = mistral_7b()
     CAPACITY = 1024
 
-    bits_list = [int(b) for b in (sys.argv[1:] or ["8", "4"])]
+    # "4pc" = per-channel int4 through the fused Pallas matvec (the decode
+    # SPEED tier; plain 4 = group-64 rest tier whose XLA unpack won't fuse)
+    bits_list = sys.argv[1:] or ["8", "4pc"]
     for bits in bits_list:
         shapes = jax.eval_shape(
             lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
         )
         params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-        params = quantize_text_params(params, bits=bits, free_source=True)
+        params = quantize_text_params(
+            params, bits=4 if bits == "4pc" else int(bits), free_source=True,
+            scheme="pc" if bits == "4pc" else "group",
+        )
 
         for unroll in [1, 4, 8, "full"]:
             @jax.jit

@@ -143,12 +143,16 @@ def model_init(
     if load_8bit or load_4bit:
         # quantized decoder loading — the reference's load_8bit/load_4bit
         # bitsandbytes flags (model/builder.py:43-52): the 7B text tower
-        # rests at int8 (per-channel) or packed int4 (group-64)
+        # rests at int8 (per-channel) or packed int4 (group-64).
+        # load_4bit="pc" selects the int4 decode SPEED tier instead:
+        # per-channel scales + the column-halved pack the fused Pallas
+        # matvec consumes (utils/quantize.py quantize_text_params scheme)
         from .utils.quantize import quantize_text_params
 
         params = dict(params)
         params["text"] = quantize_text_params(
-            params["text"], bits=4 if load_4bit else 8, free_source=True
+            params["text"], bits=4 if load_4bit else 8, free_source=True,
+            scheme="pc" if load_4bit == "pc" else "group",
         )
 
     eos_id = getattr(tokenizer, "eos_token_id", None) if tokenizer else None

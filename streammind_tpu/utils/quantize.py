@@ -107,7 +107,8 @@ def dequantize_linear_weight_int4_pc(p: dict, dtype=jnp.float32) -> jax.Array:
 
 
 def quantize_text_params(text_params: dict, bits: int = 8,
-                         free_source: bool = False) -> dict:
+                         free_source: bool = False,
+                         scheme: str = "group") -> dict:
     """Quantized decoder loading — the reference's load_8bit / load_4bit
     flags (model/builder.py:43-52) as a TPU-native loader transform: every
     attention/MLP projection of the text tower stored int8 (per-channel) or
@@ -121,11 +122,21 @@ def quantize_text_params(text_params: dict, bits: int = 8,
     free_source=True drops each source weight right after quantizing it
     (MUTATES the input tree) so peak HBM is one full-precision tree plus ONE
     layer, not two trees — required to quantize a 7B load on a 16 GB chip.
+
+    scheme (bits=4 only): "group" = group-64 scales, packed at REST (the
+    bnb load_in_4bit parity tier — XLA's dequant-on-read materializes the
+    full weight, so it is a fit-bigger-models option, not a speed tier);
+    "pc" = per-channel scales with the column-halved pack that the fused
+    Pallas matvec (ops/int4_matvec.py) unpacks in VMEM right before the
+    MXU dot — a decode SPEED tier: 1-token forwards read half the int8
+    tier's weight bytes (~3.7 GB vs 7.3 at 7B).
     """
     def quant(leaf: dict) -> dict:
         w = leaf.pop("weight") if free_source else leaf["weight"]
         if bits == 8:
             q = quantize_linear_weight(w)
+        elif bits == 4 and scheme == "pc":
+            q = quantize_linear_weight_int4_pc(w)
         elif bits == 4:
             q = quantize_linear_weight_int4(w)
         else:

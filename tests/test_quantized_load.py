@@ -121,3 +121,41 @@ def test_model_init_quantized_bf16_generates(rng):
     ).astype(np.float32)
     out = streammind_tpu.infer(model, video, "describe", tok, max_new_tokens=4)
     assert isinstance(out, str)
+
+
+def test_int4_pc_speed_tier_text_loading(rng):
+    """quantize_text_params(bits=4, scheme='pc'): the decode SPEED tier —
+    per-channel scales + column-halved pack consumed by the fused Pallas
+    matvec (linear() dispatches on w_int4pc; on CPU it takes the dequant
+    fallback, same numerics).  model_init(load_4bit='pc') wires it."""
+    import streammind_tpu
+    from sp_like_tokenizer import SPLikeTokenizer
+    from streammind_tpu.config import tiny_streammind_config
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    cfg = tiny_streammind_config()
+    params = lm.init_text_params(jax.random.PRNGKey(3), cfg.text, jnp.bfloat16)
+    q = quantize_text_params(params, bits=4, scheme="pc")
+    for name in ("q", "k", "v", "o"):
+        assert "w_int4pc" in q["layers"][name]
+    assert "w_int4pc" in q["layers"]["mlp"]["down"]
+
+    cache = lm.init_kv_cache(cfg.text, batch=1, capacity=32, dtype=jnp.bfloat16)
+    tok = jnp.asarray([[5]], jnp.int32)
+    ref, _ = lm.text_forward(params, cfg.text, input_ids=tok, cache=cache)
+    out, _ = lm.text_forward(q, cfg.text, input_ids=tok, cache=cache)
+    rel = float(jnp.mean(jnp.abs(out - ref)) / (jnp.mean(jnp.abs(ref)) + 1e-9))
+    assert rel < 0.25, rel  # int4 per-channel on random weights
+
+    # product wiring: a full streaming turn on the int4-pc tier
+    model, _, tok2, _ = streammind_tpu.model_init(
+        cfg=cfg, tokenizer=SPLikeTokenizer(), load_4bit="pc"
+    )
+    assert "w_int4pc" in model.params["text"]["layers"]["q"]
+    sess = model.new_session(tok2, max_new_tokens=3)
+    size = cfg.vision.image_size
+    frame = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, size, size)), jnp.float32)
+    out = sess.process_frame(frame, force_fire=True)
+    assert isinstance(out, str) and len(out) >= 0
