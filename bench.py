@@ -253,21 +253,28 @@ def main():
     if not wait_for_backend():
         emit()
         return
+    emit()  # a parseable record exists from here on, whatever dies later
 
-    _apply_platform()
-    import jax
-    import jax.numpy as jnp
+    try:
+        _apply_platform()
+        import jax
+        import jax.numpy as jnp
 
-    from streammind_tpu.config import StreamMindConfig
-    from streammind_tpu.streaming.engine import StreamMindEngine
+        from streammind_tpu.config import StreamMindConfig
+        from streammind_tpu.streaming.engine import StreamMindEngine
 
-    cfg = StreamMindConfig()
-    params = build_params(cfg)
-    pixels = jax.random.normal(
-        jax.random.PRNGKey(1),
-        (1, 3, cfg.vision.image_size, cfg.vision.image_size),
-        jnp.bfloat16,
-    )
+        cfg = StreamMindConfig()
+        params = build_params(cfg)
+        pixels = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (1, 3, cfg.vision.image_size, cfg.vision.image_size),
+            jnp.bfloat16,
+        )
+    except Exception as e:  # noqa: BLE001 — the tunnel can die mid-setup
+        RECORD["error"] = f"setup failed: {type(e).__name__}: {e}"
+        RECORD["last_known_good"] = LAST_KNOWN_GOOD
+        emit()
+        return
     state = {}
 
     @tier("bit_faithful")

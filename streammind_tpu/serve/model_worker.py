@@ -190,10 +190,16 @@ class ModelWorker:
             return arr["pixels"] if hasattr(arr, "files") else np.asarray(arr)
         if "video_path" in params and self.processor is not None:
             if self.use_taug:
+                from ..constants import NUM_FRAMES
                 from ..mm_utils import process_video_taug
 
+                # same knobs as self.processor (api.model_init): the
+                # config's frame count, no square padding — a video must
+                # preprocess identically whichever ingestion route it takes
                 return process_video_taug(
                     params["video_path"],
+                    num_frames=self.model.cfg.num_frames or NUM_FRAMES,
+                    aspect_ratio=None,
                     image_size=self.model.cfg.vision.image_size,
                 )
             return self.processor(params["video_path"])
@@ -203,13 +209,25 @@ class ModelWorker:
                 # raw (T, H, W, 3) frames — run the worker's video
                 # preprocessing (the reference always process_videos()es
                 # decoded frames), with the taug grid when enabled
+                from ..constants import NUM_FRAMES
                 from ..mm_utils import process_video, process_video_taug
 
-                arr = arr.astype(np.uint8)  # JSON transport widens to int64
+                if np.issubdtype(arr.dtype, np.floating):
+                    # float frames: 0..1-normalized or already 0..255
+                    if arr.max() <= 1.0 + 1e-6:
+                        arr = arr * 255.0
+                    arr = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+                else:
+                    # JSON transport widens uint8 to int64
+                    arr = np.clip(arr, 0, 255).astype(np.uint8)
                 size = self.model.cfg.vision.image_size
+                nf = self.model.cfg.num_frames or NUM_FRAMES
                 if self.use_taug:
-                    return process_video_taug(arr, image_size=size)
-                return process_video(arr, image_size=size)
+                    return process_video_taug(arr, num_frames=nf,
+                                              aspect_ratio=None,
+                                              image_size=size)
+                return process_video(arr, num_frames=nf, aspect_ratio=None,
+                                     image_size=size)
             return arr.astype(np.float32)
         if "images" in params:
             # reference worker protocol: a list of base64 images / arrays
@@ -567,7 +585,8 @@ def main():
                              "reference; flash = Pallas online softmax "
                              "(fp32 accumulation, no materialized S^2 "
                              "traffic); bf16 = fast-tier softmax")
-    parser.add_argument("--use-taug", action="store_true", default=None,
+    parser.add_argument("--use-taug", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="temporal-augmentation photo grid for one-shot "
                              "video requests: 8*2*2 linearly sampled frames "
                              "pasted into 8 2x2 grids (default: enabled "

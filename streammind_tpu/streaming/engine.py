@@ -188,9 +188,16 @@ class StreamMindEngine:
     # -- perception -------------------------------------------------------
     def _perceive_impl(self, params, pixels, state: StreamState):
         """pixels: (1, 3, H, W) one frame.  Returns (gate_probs, new_state)."""
-        p, cfg = params, self.cfg
-        feats = vit_forward(p["vision"], cfg.vision, pixels,
+        feats = vit_forward(params["vision"], self.cfg.vision, pixels,
                             attn_impl=self.attn_impl, unroll="full")
+        return self._post_vision(params, feats, state)
+
+    def _post_vision(self, params, feats, state: StreamState):
+        """Shared program-2 body of the B=1 tick: projector step + gate +
+        ring write.  Traced inside _perceive (fused) AND _perceive_post
+        (split) — one definition keeps the two bit-identical by
+        construction."""
+        p, cfg = params, self.cfg
         mem_tok, mamba_state = proj.mamba_project_step(
             p["projector"], cfg, feats, state.mamba
         )
@@ -216,27 +223,10 @@ class StreamMindEngine:
         return self._perceive(self.params, pixels, state)
 
     def _perceive_post_impl(self, params, feats, state: StreamState):
-        """Program 2 of the SPLIT B=1 tick (split_perceive=True): projector
-        step + gate + ring write on precomputed ViT features — the same
+        """Program 2 of the SPLIT B=1 tick (split_perceive=True): the same
         two-program shape as the batched tick, for measuring whether the
         fused-program scheduling pathology (see __init__) also taxes B=1."""
-        p, cfg = params, self.cfg
-        mem_tok, mamba_state = proj.mamba_project_step(
-            p["projector"], cfg, feats, state.mamba
-        )
-        logits = proj.gate_decision_step(p["projector"], cfg, mem_tok)
-        gate_probs = jax.nn.softmax(logits[0].astype(jnp.float32))
-        slot = jnp.minimum(state.frame_idx, cfg.max_stream_frames - 1)
-        memory = jax.lax.dynamic_update_slice(
-            state.memory, mem_tok[:, None, :].astype(state.memory.dtype), (0, slot, 0)
-        )
-        new_state = StreamState(
-            mamba=mamba_state,
-            memory=memory,
-            frame_idx=state.frame_idx + 1,
-            last_fire=state.last_fire,
-        )
-        return gate_probs, new_state
+        return self._post_vision(params, feats, state)
 
     def _perceive_batch_vision_impl(self, params, pixels):
         """Program 1 of the batched tick: the vision tower alone (see the

@@ -274,7 +274,24 @@ def test_worker_taug_grid_path(rng):
     )
     assert worker.use_taug is True
     # the reference's model-path substring gate resolves the default
-    assert ModelWorker.__init__.__defaults__ is not None  # use_taug=None default
+    # (model_worker.py:196 checks `"use_taug" in self.model_path`)
+    w_sub = ModelWorker(
+        controller_addr="", worker_addr="", no_register=True,
+        model_path="/ckpts/StreamMind-7B-use_taug", model=model, tokenizer=tok,
+    )
+    assert w_sub.use_taug is True
+    w_plain = ModelWorker(
+        controller_addr="", worker_addr="", no_register=True,
+        model_path="/ckpts/StreamMind-7B", model=model, tokenizer=tok,
+    )
+    assert w_plain.use_taug is False
+    # explicit override beats the substring
+    w_off = ModelWorker(
+        controller_addr="", worker_addr="", no_register=True,
+        model_path="/ckpts/StreamMind-7B-use_taug", model=model, tokenizer=tok,
+        use_taug=False,
+    )
+    assert w_off.use_taug is False
     wserver = serve_worker(worker, "127.0.0.1", wport)
     t = threading.Thread(target=wserver.serve_forever, daemon=True)
     t.start()
@@ -307,5 +324,12 @@ def test_worker_taug_grid_path(rng):
     chunks = post()
     assert chunks and all(c["error_code"] == 0 for c in chunks)
     assert chunks[-1]["frames"] == 12  # every raw frame spliced
+
+    # float-valued raw frames (0..1-normalized, e.g. read_video()/255) must
+    # not be silently truncated to 0/1 by a blind uint8 cast
+    payload["video"] = (raw.astype(np.float64) / 255.0).tolist()
+    chunks = post()
+    assert chunks and all(c["error_code"] == 0 for c in chunks)
+    assert chunks[-1]["frames"] == 12
 
     wserver.shutdown()

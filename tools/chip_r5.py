@@ -4,6 +4,7 @@ per process — chip work must be strictly serialized):
   python tools/chip_r5.py perceive   # B=1 fused vs split, both tiers
   python tools/chip_r5.py scaling    # batched tick S in {8, 16, 32}
   python tools/chip_r5.py stages     # B=1 stage profile (vit/mamba/gate)
+  python tools/chip_r5.py vitattn    # ViT attention-impl shootout (B=1/B=8)
 
 (decode unroll sweep: _sweep_unroll.py; full record: bench.py;
 paged serving drive: bench_paged_serving.py)
@@ -180,5 +181,8 @@ def run_vitattn():
 
 
 if __name__ == "__main__":
-    {"perceive": run_perceive, "scaling": run_scaling,
-     "stages": run_stages, "vitattn": run_vitattn}[sys.argv[1]]()
+    cmds = {"perceive": run_perceive, "scaling": run_scaling,
+            "stages": run_stages, "vitattn": run_vitattn}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        sys.exit(f"usage: python tools/chip_r5.py {{{'|'.join(cmds)}}}")
+    cmds[sys.argv[1]]()
