@@ -5,12 +5,13 @@
 # mid-battery outage still leaves the high-value records.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p _chip_r5_results
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
   timeout "$TIMEOUT" "$@" 2>&1 | tee "_chip_r5_results/$name.log"
-  echo "rc=$? $name" | tee -a _chip_r5_results/battery.status
+  echo "rc=${PIPESTATUS[0]} $name" | tee -a _chip_r5_results/battery.status
 }
 TIMEOUT=1800 run perceive   python tools/chip_r5.py perceive
 TIMEOUT=1200 run stages     python tools/chip_r5.py stages
