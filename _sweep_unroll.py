@@ -13,7 +13,7 @@ import numpy as np
 def main():
     from streammind_tpu.config import mistral_7b
     from streammind_tpu.models import mistral as lm
-    from streammind_tpu.utils.quantize import quantize_text_params
+    from streammind_tpu.utils.quantize import synth_quantized_text_params
 
     cfg = mistral_7b()
     CAPACITY = 1024
@@ -22,12 +22,10 @@ def main():
     # SPEED tier; plain 4 = group-64 rest tier whose XLA unpack won't fuse)
     bits_list = sys.argv[1:] or ["8", "4pc"]
     for bits in bits_list:
-        shapes = jax.eval_shape(
-            lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
-        )
-        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-        params = quantize_text_params(
-            params, bits=4 if bits == "4pc" else int(bits), free_source=True,
+        # built directly at quantized shapes (never the ~14.5 GB bf16
+        # source — that OOM'd the 16 GB chip in the r5 battery)
+        params = synth_quantized_text_params(
+            cfg, bits=4 if bits == "4pc" else int(bits),
             scheme="pc" if bits == "4pc" else "group",
         )
 

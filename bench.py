@@ -211,14 +211,12 @@ def bench_decode_7b_int8():
 
     from streammind_tpu.config import mistral_7b
     from streammind_tpu.models import mistral as lm
-    from streammind_tpu.utils.quantize import quantize_text_params
+    from streammind_tpu.utils.quantize import synth_quantized_text_params
 
     cfg = mistral_7b()
-    shapes = jax.eval_shape(
-        lambda k: lm.init_text_params(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0)
-    )
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-    params = quantize_text_params(params, bits=8, free_source=True)
+    # Built directly at quantized shapes — materializing the bf16 source
+    # first peaked ~18 GB and OOM'd the 16 GB chip (r5 battery).
+    params = synth_quantized_text_params(cfg, bits=8)
 
     unroll = int(os.environ.get("STREAMMIND_BENCH_DECODE_UNROLL", "1"))
 

@@ -229,3 +229,34 @@ def quantize_gate_params(cls_net_params: dict, bits: int = 8) -> dict:
     layers["mlp"] = mlp
     out["layers"] = layers
     return out
+
+
+def synth_quantized_text_params(cfg, bits: int = 8, scheme: str = "group"):
+    """Build a synthetic text tree directly at its QUANTIZED shapes.
+
+    Benchmarks/sweeps need a 7B-shaped quantized tree whose VALUES don't
+    matter (dense matmul time is value-independent).  Materializing the
+    bf16 source first and quantizing it OOMs a 16 GB chip: the full tree is
+    ~14.5 GB and quantize_linear_weight's fp32 copy of one stacked
+    (L, out, in) leaf adds up to ~3.8 GB on top (observed on-chip, r5).
+    Instead, eval_shape the init→quantize composition (abstract — zero HBM)
+    and fill the quantized shapes directly: int leaves get ones, float
+    leaves 0.01.  Peak HBM is just the quantized tree (~7.3 GB int8 at 7B).
+    """
+    import jax
+
+    from ..models import mistral as lm
+
+    shapes = jax.eval_shape(
+        lambda k: quantize_text_params(
+            lm.init_text_params(k, cfg, jnp.bfloat16), bits=bits, scheme=scheme
+        ),
+        jax.random.PRNGKey(0),
+    )
+
+    def fill(s):
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            return jnp.ones(s.shape, s.dtype)
+        return jnp.full(s.shape, 0.01, s.dtype)
+
+    return jax.tree.map(fill, shapes)
