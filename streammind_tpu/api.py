@@ -91,8 +91,9 @@ def model_init(
     # model/builder.py:60-142)
     decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
     vit_attn: str = "auto",  # ViT attention impl: auto (fp32-softmax jnp
-    # reference) | flash (Pallas online softmax, fp32 accumulation — skips
-    # the materialized S^2 logits/probs HBM traffic) | bf16
+    # reference) | exact (Pallas VMEM-resident full-row fp32 softmax — the
+    # reference's reduction structure with none of its S^2 HBM traffic)
+    # | flash (Pallas online softmax, fp32 accumulation) | bf16
 ):
     """Load (or randomly initialize, for tests) a StreamMind model.
 

@@ -357,6 +357,24 @@ def _attn_block(
     written at cache_len and attention runs over the cache; else pure
     self-attention over the current block."""
     b, s, d = x.shape
+    if cache_k is None and s == 1 and kv_mask is None:
+        # Single-token self-attention — the streaming gate LM's exact shape
+        # (projector.gate_decision_step feeds ONE memory token, no cache;
+        # reference builder.py:547-562 feeds x[0][-1] alone through
+        # cls_net).  The token's only causally-visible key is itself, and
+        # softmax over one logit is exactly 1.0 in every dtype
+        # (exp(x-x)/sum == 1), so the attention output is exactly v (each
+        # q-head reading its GQA group's v) — the q/k projections and
+        # rope cancel out of the math entirely.  Skipping them drops
+        # ~168 MB of dead weight reads per gate call at 7B-gate dims
+        # (q_dim^2 + q_dim*kv_dim per layer), and XLA DCEs the unused
+        # q/k leaves out of the compiled program.  Bit-identical by
+        # construction to the full path (single-term einsum: 1.0*v == v).
+        from ..ops.attention import _repeat_kv
+
+        v = linear(x, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        o = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
+        return linear(o.reshape(b, s, cfg.q_dim), lp["o"]), None, None
     q = linear(x, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = linear(x, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = linear(x, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)

@@ -250,6 +250,103 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
+# Pallas exact (VMEM-resident, full-row fp32 softmax) attention
+# ---------------------------------------------------------------------------
+def _exact_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, sk_valid: int):
+    """One grid step per (batch*head): the ENTIRE key/value sequence is
+    VMEM-resident, so the softmax is computed over the full row at once —
+    the same reduction structure as mha_reference (max → exp → sum → div),
+    NOT flash's online-rescaled variant.  Replicates mha_reference's
+    numerics op by op:
+      s     = dot(q, kᵀ) in fp32, THEN multiplied by scale (the flash
+              kernel pre-scales q — different rounding; this one matches
+              the jnp path's `logits * scale`);
+      probs = exp(s - max) / sum, all fp32;
+      out   = dot(probs.astype(v.dtype), v) with fp32 accumulation and a
+              single final rounding to the output dtype — exactly XLA's
+              bf16-dot-with-fp32-accumulate behavior.
+    Nothing (logits or probs) ever round-trips through HBM: at ViT-L/14-336
+    dims that materialization is ~42 MB/layer/frame of fp32 traffic
+    (~1 GB per frame over 23 layers), the dominant cost of the
+    fp32-softmax vision tower at B=1."""
+    q = q_ref[0]  # (Sq_p, D) input dtype
+    k = k_ref[0]  # (Sk_p, D)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    if sk_valid < k.shape[0]:
+        # key-side padding only (zeros) — mask so pad logits (0.0) cannot
+        # win the row max; exp(NEG_INF - m) underflows to exactly 0.0, so
+        # the valid-row softmax is bitwise unchanged
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < sk_valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / l).astype(v_ref.dtype)
+    o_ref[0] = jnp.dot(
+        probs, v_ref[0], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+# Whole-K VMEM residency bound: s/p are (Sq_p, Sk_p) fp32 scratch — at 4096
+# keys and 1024 q rows that is ~32 MB, comfortably inside v5e's 128 MB VMEM;
+# beyond it use flash (blocked) or the jnp paths.
+_EXACT_MAX_KEYS = 4096
+
+
+def exact_attention(
+    q: jax.Array,  # (B, Sq, H, D)
+    k: jax.Array,  # (B, Sk, Hkv, D)
+    v: jax.Array,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """Non-causal, unmasked attention with full-row fp32 softmax, fully
+    VMEM-resident (no logits/probs HBM materialization).  The serving ViT's
+    hot shape (B, 577, 16, 64).  GQA via the kv-head index map.  Matches
+    mha_reference's reduction structure (see _exact_kernel); bitwise
+    equality vs the jnp path is asserted on real TPU in the chip battery
+    (tools/chip_r5.py) and at 1e-6 rms on CPU interpret in tests."""
+    b, sq, h, d = q.shape
+    _, sk, hkv, _ = k.shape
+    if sk > _EXACT_MAX_KEYS:
+        raise ValueError(
+            f"exact_attention: Sk={sk} exceeds the VMEM-resident bound "
+            f"{_EXACT_MAX_KEYS}; use flash or the jnp reference"
+        )
+    n_rep = h // hkv
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+
+    # fp32 tiles are (8, 128): pad q rows to sublane, keys to lane multiples
+    sq_p = -(-sq // 8) * 8
+    sk_p = -(-sk // 128) * 128
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, sk_p, d)
+
+    kv_spec = pl.BlockSpec(
+        (1, sk_p, d), lambda bh: ((bh // h) * hkv + (bh % h) // n_rep, 0, 0)
+    )
+    out = pl.pallas_call(
+        functools.partial(_exact_kernel, scale=scale, sk_valid=sk),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, sq_p, d), lambda bh: (bh, 0, 0)),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=pl.BlockSpec((1, sq_p, d), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        interpret=interpret_mode(),
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :sq]
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash attention backward (training path)
 #
 # Replaces the last un-matched reference kernel family: the reference trains
@@ -603,6 +700,21 @@ def attention(
     strict = impl == "flash!"
     if strict:
         impl = "flash"
+    if impl == "exact":
+        # VMEM-resident full-row fp32 softmax (the serving ViT hot path) —
+        # same reduction structure as the jnp reference, none of its
+        # logits/probs HBM materialization.  Constraints: non-causal,
+        # unmasked, whole-K fits VMEM; anything else falls through to the
+        # reference path below (identical numerics, just slower).
+        if (
+            not causal
+            and kv_mask is None
+            and kv_len is None
+            and (isinstance(q_offset, int) and q_offset == 0)
+            and k.shape[1] <= _EXACT_MAX_KEYS
+        ):
+            return exact_attention(q, k, v)
+        impl = "auto"
     if impl == "flash":
         if kv_len is None and kv_mask is not None:
             kv_len = jnp.sum(kv_mask, axis=-1).astype(jnp.int32)

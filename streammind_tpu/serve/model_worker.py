@@ -579,10 +579,13 @@ def main():
                              "bandwidth bound and unrolling lets XLA "
                              "pipeline the per-layer fetches, at the cost "
                              "of a bigger decode program to compile")
-    parser.add_argument("--vit-attn", choices=["auto", "flash", "bf16"],
+    parser.add_argument("--vit-attn", choices=["auto", "exact", "flash", "bf16"],
                         default="auto",
                         help="ViT attention impl: auto = fp32-softmax jnp "
-                             "reference; flash = Pallas online softmax "
+                             "reference; exact = Pallas VMEM-resident "
+                             "full-row fp32 softmax (the reference's "
+                             "reduction structure, none of its S^2 HBM "
+                             "traffic); flash = Pallas online softmax "
                              "(fp32 accumulation, no materialized S^2 "
                              "traffic); bf16 = fast-tier softmax")
     parser.add_argument("--use-taug", action=argparse.BooleanOptionalAction,

@@ -61,6 +61,41 @@ def test_flash_matches_reference(rng, causal):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_exact_attention_matches_reference(rng, dtype):
+    """VMEM-resident full-row-softmax kernel vs the jnp reference — same
+    reduction structure by construction (bitwise equality is asserted on
+    real TPU in the chip battery; CPU interpret mode checks at fp32
+    reduction-order tolerance).  Covers the ViT hot shape (odd Sq=Sk with
+    key padding to the lane multiple) and a GQA split."""
+    from streammind_tpu.ops.attention import exact_attention
+
+    for b, sq, sk, h, hkv, d in [(2, 37, 37, 4, 4, 16), (1, 24, 40, 4, 2, 16)]:
+        q = jnp.asarray(rng.standard_normal((b, sq, h, d)), dtype)
+        k = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), dtype)
+        ref = np.asarray(mha_reference(q, k, v, causal=False), np.float32)
+        out = np.asarray(exact_attention(q, k, v), np.float32)
+        np.testing.assert_allclose(out, ref, rtol=2e-6 if dtype == jnp.float32 else 2e-2,
+                                   atol=2e-6 if dtype == jnp.float32 else 2e-2)
+
+
+def test_exact_impl_dispatch_and_fallback(rng):
+    """impl='exact' uses the kernel on the eligible shape and falls back to
+    the reference (identical numerics) when causal/masked."""
+    B, S, H, D = 1, 12, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    out = attention(q, k, v, causal=False, impl="exact")
+    ref = mha_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-6, atol=2e-6)
+    # causal → falls through to the reference path, exactly
+    out_c = attention(q, k, v, causal=True, impl="exact")
+    ref_c = mha_reference(q, k, v, causal=True)
+    assert np.array_equal(np.asarray(out_c), np.asarray(ref_c))
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_mha_grad_matches_reference(rng, causal):
     """Pallas flash backward (custom_vjp) == autodiff through the jnp

@@ -66,6 +66,24 @@ def test_text_cache_matches_full_forward(rng):
     assert int(cache.length[0]) == 12
 
 
+def test_single_token_attention_shortcut_bit_identical(rng):
+    """The no-cache s=1 forward (the streaming gate LM's shape) takes the
+    softmax-over-one-key shortcut in _attn_block (output == v exactly, q/k
+    skipped).  An all-valid kv_mask forces the general path on the same
+    input — the two must agree BIT-FOR-BIT, because softmax over a single
+    visible key is exactly 1.0 in every dtype."""
+    cfg = tiny_text_config()
+    params = lm.init_text_params(jax.random.PRNGKey(7), cfg)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        p = jax.tree.map(lambda a: a.astype(dtype), params)
+        x = jnp.asarray(rng.standard_normal((2, 1, cfg.hidden_size)), dtype)
+        fast, _ = lm.text_forward(p, cfg, inputs_embeds=x)
+        general, _ = lm.text_forward(
+            p, cfg, inputs_embeds=x, attn_mask=jnp.ones((2, 1), bool)
+        )
+        assert np.array_equal(np.asarray(fast), np.asarray(general)), dtype
+
+
 def test_moe_runs_and_routes(rng):
     cfg = tiny_text_config()
     import dataclasses

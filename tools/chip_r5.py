@@ -155,8 +155,8 @@ def run_vitattn():
         px = frame(cfg, batch)
         ref = None
         for tree_name, tree in trees.items():
-            impls = (["auto", "flash", "bf16"] if tree_name == "bf16"
-                     else ["bf16", "flash"])
+            impls = (["auto", "exact", "flash", "bf16"] if tree_name == "bf16"
+                     else ["bf16", "exact", "flash"])
             for impl in impls:
                 fwd = jax.jit(lambda p, x, _i=impl: vit_forward(
                     p, cfg.vision, x, attn_impl=_i, unroll="full"))
@@ -175,9 +175,15 @@ def run_vitattn():
                     ref = out  # bf16 tree + fp32-softmax reference
                 rms = float(np.sqrt(np.mean((out - ref) ** 2))
                             / (np.sqrt(np.mean(ref ** 2)) + 1e-9))
+                # the exact kernel claims mha_reference's reduction
+                # structure — check bitwise equality against the jnp
+                # fp32-softmax tower ON REAL TPU (CPU interpret can't)
+                bitwise = (" BITWISE==auto" if impl == "exact"
+                           and tree_name == "bf16"
+                           and np.array_equal(out, ref) else "")
                 print(f"B={batch} vit[{tree_name}] impl={impl}: "
-                      f"{sec*1e3:.2f} ms  (rms vs fp32-ref {rms:.2e})",
-                      flush=True)
+                      f"{sec*1e3:.2f} ms  (rms vs fp32-ref {rms:.2e})"
+                      f"{bitwise}", flush=True)
 
 
 if __name__ == "__main__":
