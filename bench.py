@@ -202,9 +202,10 @@ def bench_engine_batch(engine, pixels, n_small=5, n_large=45):
 
 
 def bench_decode_7b_int8():
-    """7B int8 single-token decode ms/token, slope-timed, at the worker's
-    default decode_unroll.  Runs LAST: it owns ~7.5 GB of HBM and minutes
-    of first-compile on the tunneled platform."""
+    """7B int8 single-token decode ms/token, slope-timed (rolled layer
+    scan — the r5 sweep measured every unroll factor slower at 7B).
+    Runs LAST: it owns ~7.5 GB of HBM and minutes of first-compile on the
+    tunneled platform."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -218,12 +219,10 @@ def bench_decode_7b_int8():
     # first peaked ~18 GB and OOM'd the 16 GB chip (r5 battery).
     params = synth_quantized_text_params(cfg, bits=8)
 
-    unroll = int(os.environ.get("STREAMMIND_BENCH_DECODE_UNROLL", "1"))
-
     @jax.jit
     def step(params, tok, cache):
         logits, cache = lm.text_forward(
-            params, cfg, input_ids=tok[None, None], cache=cache, unroll=unroll
+            params, cfg, input_ids=tok[None, None], cache=cache
         )
         return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
 

@@ -89,7 +89,6 @@ def model_init(
     model_base: Optional[str] = None,  # base decoder dir for LoRA /
     # base+mm_projector.bin checkpoints (the reference's --model-base,
     # model/builder.py:60-142)
-    decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
     vit_attn: str = "auto",  # ViT attention impl: auto (fp32-softmax jnp
     # reference) | exact (Pallas VMEM-resident full-row fp32 softmax — the
     # reference's reduction structure with none of its S^2 HBM traffic)
@@ -162,7 +161,7 @@ def model_init(
     engine = StreamMindEngine(
         params, cfg, eos_token_id=eos_id,
         quantize_gate=quantize_gate, fast_vision=fast_vision,
-        decode_unroll=decode_unroll, attn_impl=vit_attn,
+        attn_impl=vit_attn,
     )
     # the bundle shares the ENGINE's param tree (qkv-fused vision, any
     # serving-tier quantization applied): keeping the pre-transform tree

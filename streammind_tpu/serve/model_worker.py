@@ -57,7 +57,6 @@ class ModelWorker:
         prewarm: bool = False,
         model_base: Optional[str] = None,  # base decoder for LoRA /
         # adapter checkpoints (reference --model-base)
-        decode_unroll=1,  # layer-scan unroll for 1-token decode forwards
         use_taug: Optional[bool] = None,  # temporal-aug photo grid; None =
         # model-path substring, like the reference worker
         vit_attn: str = "auto",  # ViT attention impl (see api.model_init)
@@ -84,7 +83,7 @@ class ModelWorker:
             model, self.processor, tokenizer, self.version = model_init(
                 model_path, quantize_gate=quantize_gate, fast_vision=fast_vision,
                 load_8bit=load_8bit, load_4bit=load_4bit, model_base=model_base,
-                decode_unroll=decode_unroll, vit_attn=vit_attn,
+                vit_attn=vit_attn,
             )
         else:
             self.processor, self.version = None, "llama_2"
@@ -572,13 +571,6 @@ def main():
                              "dense-equivalent page count for the capacity)")
     parser.add_argument("--page-size", type=int, default=64,
                         help="tokens per KV page (multiple of 8)")
-    parser.add_argument("--decode-unroll", type=lambda v: v if v == "full" else int(v),
-                        default=1,
-                        help="layer-scan unroll for the 1-token decode "
-                             "forwards (int or 'full'); decode is weight-"
-                             "bandwidth bound and unrolling lets XLA "
-                             "pipeline the per-layer fetches, at the cost "
-                             "of a bigger decode program to compile")
     parser.add_argument("--vit-attn", choices=["auto", "exact", "flash", "bf16"],
                         default="auto",
                         help="ViT attention impl: auto = fp32-softmax jnp "
@@ -618,7 +610,6 @@ def main():
         page_size=args.page_size,
         prewarm=args.prewarm,
         model_base=args.model_base,
-        decode_unroll=args.decode_unroll,
         use_taug=args.use_taug,
         vit_attn=args.vit_attn,
     )

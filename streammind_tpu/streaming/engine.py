@@ -69,7 +69,6 @@ class StreamMindEngine:
         quantize_gate: bool = False,
         fast_vision=False,  # False | True (bf16 softmax) | "int8" (int8-MXU ViT)
         mesh=None,
-        decode_unroll=1,
         split_perceive: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh — tensor-parallel SERVING.  The
@@ -139,13 +138,13 @@ class StreamMindEngine:
         self.buckets = tuple(b for b in prefill_buckets if b <= cfg.text.max_position_embeddings)
         self.kv_capacity = kv_capacity or min(cfg.text.max_position_embeddings, 8192)
         self.attn_impl = attn_impl
-        # layer-scan unroll for the 1-token decode forwards: decode is
-        # pure weight bandwidth, and unrolling lets XLA pipeline the
-        # per-layer weight fetches (see models/mistral.py text_forward).
-        # Kept a constructor knob: full unroll multiplies the decode
-        # program size, and at 7B over the tunneled platform that means
-        # minutes of extra first-compile (use worker --prewarm).
-        self.decode_unroll = decode_unroll
+        # decode layer-scan unroll: REMOVED after the r5 chip sweep
+        # (_sweep_unroll.py) — rolled decode wins at 7B on v5e (int8:
+        # 11.83 ms/tok rolled vs 12.65 full / 34 ms unroll-4; int4pc:
+        # 12.09 rolled, everything else worse).  The weight-fetch
+        # pipelining rationale that helps the 4-layer gate LM (which IS
+        # fully unrolled in projector.gate_logits) inverts at 32 layers:
+        # the unrolled decode program spills and stops overlapping.
         # MoE dispatch for the text forwards: the tensor-parallel serving
         # path shards params via NamedSharding with NO jax.set_mesh ambient
         # mesh, so _moe_mlp's auto-detection cannot see the sharding at
@@ -379,7 +378,6 @@ class StreamMindEngine:
             i, tok, cache, buf, done, key, tail = carry
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
-                unroll=self.decode_unroll,
                 moe_dispatch=self.moe_dispatch,
             )
             key, sub = jax.random.split(key)
@@ -450,7 +448,6 @@ class StreamMindEngine:
             logits, cache = lm.text_forward(
                 p["text"], cfg.text, input_ids=toks[:, None], cache=cache,
                 cache_advance=jnp.where(done, 0, 1).astype(jnp.int32),
-                unroll=self.decode_unroll,
                 moe_dispatch=self.moe_dispatch,
             )
             key, sub = jax.random.split(key)
@@ -547,7 +544,7 @@ class StreamMindEngine:
         p, cfg = params, self.cfg
         logits, cache = lm.text_forward(
             p["text"], cfg.text, input_ids=tok[None, None], cache=cache,
-            unroll=self.decode_unroll, moe_dispatch=self.moe_dispatch,
+            moe_dispatch=self.moe_dispatch,
         )
         nxt = sample_token(rng_key, logits[0, -1], temperature, top_k, top_p)
         return nxt, cache
@@ -584,7 +581,7 @@ class StreamMindEngine:
         """(K,) tokens, batch-K cache → ((K, V) logits, cache)."""
         logits, cache = lm.text_forward(
             params["text"], self.cfg.text, input_ids=toks[:, None], cache=cache,
-            unroll=self.decode_unroll, moe_dispatch=self.moe_dispatch,
+            moe_dispatch=self.moe_dispatch,
         )
         return logits[:, -1, :], cache
 
