@@ -186,9 +186,59 @@ def run_vitattn():
                       f"{bitwise}", flush=True)
 
 
+def run_exact():
+    """End-to-end tiers with attn_impl='exact' (the r5 VMEM-resident
+    full-row fp32-softmax kernel): B=1 both tiers + batched scaling —
+    the decide-the-defaults measurement (vs perceive/scaling logs)."""
+    from streammind_tpu.streaming.engine import StreamMindEngine
+    from streammind_tpu.streaming.state import (
+        init_multistream_state,
+        init_stream_state,
+    )
+
+    cfg, params = build()
+    px = frame(cfg)
+    for tier, kw in [("bit_faithful", {}),
+                     ("fast", dict(quantize_gate=True, fast_vision="int8"))]:
+        eng = StreamMindEngine(params, cfg, attn_impl="exact", **kw)
+
+        def bench(n, _eng=eng):
+            s = init_stream_state(cfg)
+            g = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                g, s = _eng.perceive_step(px, s)
+            np.asarray(g)
+            return time.perf_counter() - t0
+
+        sec = slope(bench, 10, 110)
+        print(f"{tier} attn=exact: {sec*1e3:.2f} ms/frame "
+              f"({1/sec:.1f} fps)", flush=True)
+        del eng
+
+    eng = StreamMindEngine(params, cfg, attn_impl="exact",
+                           quantize_gate=True, fast_vision="int8")
+    for s_streams in (8, 16, 32):
+        pxs = frame(cfg, s_streams, seed=2)
+
+        def bench(n, _px=pxs, _s=s_streams):
+            st = init_multistream_state(cfg, _s)
+            g = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                g, st = eng.perceive_step_batch(_px, st)
+            np.asarray(g)
+            return time.perf_counter() - t0
+
+        sec = slope(bench, 5, 45)
+        print(f"S={s_streams} attn=exact: {sec*1e3:.2f} ms/tick "
+              f"({s_streams/sec:.1f} fps aggregate)", flush=True)
+
+
 if __name__ == "__main__":
     cmds = {"perceive": run_perceive, "scaling": run_scaling,
-            "stages": run_stages, "vitattn": run_vitattn}
+            "stages": run_stages, "vitattn": run_vitattn,
+            "exact": run_exact}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         sys.exit(f"usage: python tools/chip_r5.py {{{'|'.join(cmds)}}}")
     cmds[sys.argv[1]]()
