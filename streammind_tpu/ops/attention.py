@@ -302,9 +302,14 @@ def exact_attention(
     """Non-causal, unmasked attention with full-row fp32 softmax, fully
     VMEM-resident (no logits/probs HBM materialization).  The serving ViT's
     hot shape (B, 577, 16, 64).  GQA via the kv-head index map.  Matches
-    mha_reference's reduction structure (see _exact_kernel); bitwise
-    equality vs the jnp path is asserted on real TPU in the chip battery
-    (tools/chip_r5.py) and at 1e-6 rms on CPU interpret in tests."""
+    mha_reference's reduction STRUCTURE (see _exact_kernel) but is NOT
+    bitwise-equal on real TPU: the chip probe (tools/_probe_exact_bitwise.py,
+    v5e) measured 1-ulp reduction-order deltas on 0.04% (bf16) / 0.55%
+    (fp32) of outputs — Mosaic and XLA order the padded-lane softmax sum
+    differently, so the default tiers never auto-resolve to this kernel
+    (the bit-faithful tier's contract is byte equality with the jnp path,
+    and the bf16-softmax tier is both faster and equally close to fp32
+    numerics at tower level).  Explicit opt-in via attn_impl='exact'."""
     b, sq, h, d = q.shape
     _, sk, hkv, _ = k.shape
     if sk > _EXACT_MAX_KEYS:

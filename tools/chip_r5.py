@@ -138,6 +138,124 @@ def run_stages():
         print(f"{name}: {slope(fn, a, b)*1e3:.3f} ms", flush=True)
 
 
+def run_mambaprof():
+    """Decompose the B=1 mamba_project_step (~0.87 ms measured vs a
+    ~0.26 ms weight-read floor: in_proj 134 MB + out_proj 67 MB +
+    x/dt_proj 9 MB bf16 at ~819 GB/s).  Times each sub-op standalone
+    (chained dependently so nothing hoists) to locate the overhead the
+    fused Pallas step kernel must eliminate."""
+    from streammind_tpu.models import projector as proj
+    from streammind_tpu.ops.scan import (
+        causal_conv1d_update,
+        selective_state_update,
+    )
+    from streammind_tpu.streaming.state import init_stream_state
+
+    cfg, params = build()
+    bp = params["projector"]["mamba"]["blocks"][0]
+    mcfg = cfg.mamba
+    st = init_stream_state(cfg)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 576, cfg.mm_hidden_size), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, mcfg.d_model), jnp.bfloat16)
+    xc = jax.random.normal(jax.random.PRNGKey(5), (1, mcfg.d_inner), jnp.bfloat16)
+
+    def timed(name, fn, feed, n_small=50, n_large=550):
+        """fn: jitted (carry) -> carry-shaped output; dependently chained."""
+        def bench(n):
+            c = feed
+            t0 = time.perf_counter()
+            for _ in range(n):
+                c = fn(c)
+            np.asarray(c)
+            return time.perf_counter() - t0
+        sec = slope(bench, n_small, n_large)
+        print(f"{name}: {sec*1e6:.0f} us", flush=True)
+
+    W_in = bp["in_proj"]["weight"]
+    W_x = bp["x_proj"]["weight"]
+    W_dt = bp["dt_proj"]["weight"]
+    W_out = bp["out_proj"]["weight"]
+
+    # pure weight streams, dependently chained via a scalar bleed
+    @jax.jit
+    def mv_in(c):
+        y = (x + c[:, :1] * 0) @ W_in.T.astype(x.dtype)
+        return y[:, : mcfg.d_model]
+
+    @jax.jit
+    def mv_out(c):
+        y = (xc + c[:, :1] * 0) @ W_out.T.astype(xc.dtype)
+        return jnp.pad(y, ((0, 0), (0, mcfg.d_inner - mcfg.d_model)))
+
+    @jax.jit
+    def mv_all(c):
+        xz = (x + c[:, :1] * 0) @ W_in.T.astype(x.dtype)
+        a = xz[:, : mcfg.d_inner]
+        dbl = a @ W_x.T.astype(x.dtype)
+        dt = dbl[:, : mcfg.dt_rank_] @ W_dt.T.astype(x.dtype)
+        return (a * 0 + dt) @ W_out.T.astype(x.dtype)
+
+    timed("mv_in_proj (134MB)", mv_in, x)
+    timed("mv_out_proj (67MB)", mv_out, xc)
+    timed("mv_chain all 4 projs (210MB)", mv_all, x)
+
+    # conv update + ssm update, chained on their carried state
+    conv0 = st.mamba.conv[0]
+    ssm0 = st.mamba.ssm[0]
+
+    @jax.jit
+    def conv_step(c):
+        y, c2 = causal_conv1d_update(
+            xc, c, bp["conv1d"]["weight"], bp["conv1d"].get("bias"))
+        return c2
+
+    timed("conv1d_update", conv_step, conv0)
+
+    dt_full = jax.random.normal(jax.random.PRNGKey(6), (1, mcfg.d_inner), jnp.bfloat16)
+    Bc = jax.random.normal(jax.random.PRNGKey(7), (1, mcfg.d_state), jnp.bfloat16)
+
+    @jax.jit
+    def ssm_step(c):
+        A = -jnp.exp(bp["A_log"])
+        y, c2 = selective_state_update(
+            c, xc, dt_full, A, Bc, Bc, D=bp["D"], z=xc,
+            dt_bias=bp["dt_proj"]["bias"], dt_softplus=True)
+        return c2
+
+    timed("selective_state_update", ssm_step, ssm0)
+
+    # norms + pre/post nets + pooling glue
+    pp = params["projector"]
+
+    @jax.jit
+    def glue(c):
+        f = feats + c[:, :1, None] * 0
+        m = jnp.mean(f, axis=1)
+        h = jax.nn.leaky_relu(
+            m @ pp["pre_net"]["weight"].T.astype(m.dtype)
+            + pp["pre_net"]["bias"].astype(m.dtype), negative_slope=0.01)
+        return jnp.broadcast_to(h[:, None, :1], feats.shape[:2] + (1,)) + feats[:, :, :1]
+
+    timed("pool+pre_net glue", glue, feats[:, :, :1])
+
+    # the whole step, for the same-process reference number
+    mamba = jax.jit(lambda p, f, s: proj.mamba_project_step(p, cfg, f, s))
+
+    def bench_step(n):
+        s = st.mamba
+        t = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            t, s = mamba(params["projector"], feats, s)
+        np.asarray(t)
+        return time.perf_counter() - t0
+
+    bench_step(1)
+    sec = slope(bench_step, 50, 550)
+    print(f"mamba_project_step (whole): {sec*1e6:.0f} us", flush=True)
+
+
 def run_vitattn():
     """ViT attention-impl shootout at B=1 (and B=8): the reference jnp path
     materializes (H, 577, 577) fp32 logits + probs per layer (~1.5 GB/frame
@@ -238,7 +356,7 @@ def run_exact():
 if __name__ == "__main__":
     cmds = {"perceive": run_perceive, "scaling": run_scaling,
             "stages": run_stages, "vitattn": run_vitattn,
-            "exact": run_exact}
+            "exact": run_exact, "mambaprof": run_mambaprof}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         sys.exit(f"usage: python tools/chip_r5.py {{{'|'.join(cmds)}}}")
     cmds[sys.argv[1]]()
