@@ -12,6 +12,7 @@ paged serving drive: bench_paged_serving.py)
 All timings use the slope method — np.asarray forces execution on the
 tunneled platform; block_until_ready alone does not (verify SKILL.md).
 """
+import functools
 import sys
 import time
 
@@ -230,7 +231,7 @@ def run_mambaprof():
 
     @jax.jit
     def glue(c):
-        f = feats + c[:, :1, None] * 0
+        f = feats + c[:, :1, :1] * 0
         m = jnp.mean(f, axis=1)
         h = jax.nn.leaky_relu(
             m @ pp["pre_net"]["weight"].T.astype(m.dtype)
@@ -254,6 +255,99 @@ def run_mambaprof():
     bench_step(1)
     sec = slope(bench_step, 50, 550)
     print(f"mamba_project_step (whole): {sec*1e6:.0f} us", flush=True)
+
+
+def run_mambaprof2():
+    """In-ONE-program ablation of mamba_project_step: standalone sub-op
+    timings are enqueue-bound (~140 us/call through the tunnel), so this
+    builds the step cumulatively inside a single jit and reports the
+    marginal cost of each stage — the number that actually localizes the
+    fused program's overhead above the ~0.31 ms weight floor."""
+    from streammind_tpu.ops.scan import (
+        causal_conv1d_update,
+        selective_state_update,
+    )
+    from streammind_tpu.ops.norms import layer_norm
+    from streammind_tpu.streaming.state import init_stream_state
+
+    cfg, params = build()
+    mcfg = cfg.mamba
+    pp = params["projector"]
+    bp = pp["mamba"]["blocks"][0]
+    fnorm = pp["mamba"]["final_norm"]
+    st = init_stream_state(cfg)
+    conv0, ssm0 = st.mamba.conv[0], st.mamba.ssm[0]
+    feats = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 576, cfg.mm_hidden_size), jnp.bfloat16)
+    dt_rank = mcfg.dt_rank_
+
+    def step_upto(stage, f, conv_state, ssm_state):
+        """Rebuild mamba_project_step piecewise; each stage adds one block."""
+        x = jnp.mean(f, axis=1)
+        h = jax.nn.leaky_relu(
+            x @ pp["pre_net"]["weight"].T.astype(x.dtype)
+            + pp["pre_net"]["bias"].astype(x.dtype), negative_slope=0.01)
+        if stage == "pre":
+            return h, conv_state, ssm_state
+        residual = h.astype(jnp.float32)
+        normed = layer_norm(
+            residual[:, None, :], bp["norm"]["weight"], bp["norm"]["bias"],
+            mcfg.layer_norm_eps)[:, 0, :].astype(h.dtype)
+        xz = normed @ bp["in_proj"]["weight"].T.astype(h.dtype)
+        xs, z = jnp.split(xz, 2, axis=-1)
+        if stage == "in_proj":
+            return xs + z[:, :1] * 0, conv_state, ssm_state
+        xc, conv_state = causal_conv1d_update(
+            xs, conv_state, bp["conv1d"]["weight"], bp["conv1d"].get("bias"))
+        if stage == "conv":
+            return xc, conv_state, ssm_state
+        x_dbl = xc @ bp["x_proj"]["weight"].T.astype(h.dtype)
+        dt, Bc, Cc = jnp.split(x_dbl, [dt_rank, dt_rank + mcfg.d_state], axis=-1)
+        dt = dt @ bp["dt_proj"]["weight"].T.astype(h.dtype)
+        if stage == "xdt":
+            return xc + dt[:, :1] * 0, conv_state, ssm_state
+        A = -jnp.exp(bp["A_log"])
+        y, ssm_state = selective_state_update(
+            ssm_state, xc, dt, A, Bc, Cc,
+            D=bp["D"], z=z, dt_bias=bp["dt_proj"]["bias"], dt_softplus=True)
+        if stage == "ssm":
+            return y, conv_state, ssm_state
+        out = y @ bp["out_proj"]["weight"].T.astype(h.dtype)
+        if stage == "out_proj":
+            return out, conv_state, ssm_state
+        residual = out.astype(jnp.float32) + residual
+        hid = layer_norm(
+            residual[:, None, :], fnorm["weight"], fnorm["bias"],
+            mcfg.layer_norm_eps)[:, 0, :].astype(h.dtype)
+        if stage == "norms":
+            return hid, conv_state, ssm_state
+        tok = jax.nn.leaky_relu(hid, negative_slope=0.01) @ \
+            pp["post_net"]["weight"].T.astype(h.dtype) \
+            + pp["post_net"]["bias"].astype(h.dtype)
+        return tok, conv_state, ssm_state
+
+    prev = 0.0
+    for stage in ["pre", "in_proj", "conv", "xdt", "ssm", "out_proj",
+                  "norms", "full"]:
+        fn = jax.jit(functools.partial(step_upto, stage),
+                     donate_argnums=(1, 2))
+
+        def bench(n, _fn=fn):
+            # fresh copies: the jit donates the state args, so the originals
+            # would be invalidated after the first bench invocation
+            cs, ss = jnp.array(conv0), jnp.array(ssm0)
+            np.asarray(jnp.sum(ss))  # materialize before the timer
+            t = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                t, cs, ss = _fn(feats, cs, ss)
+            np.asarray(t)
+            return time.perf_counter() - t0
+
+        sec = slope(bench, 50, 550)
+        print(f"upto {stage}: {sec*1e6:.0f} us (+{(sec-prev)*1e6:.0f})",
+              flush=True)
+        prev = sec
 
 
 def run_vitattn():
@@ -356,7 +450,8 @@ def run_exact():
 if __name__ == "__main__":
     cmds = {"perceive": run_perceive, "scaling": run_scaling,
             "stages": run_stages, "vitattn": run_vitattn,
-            "exact": run_exact, "mambaprof": run_mambaprof}
+            "exact": run_exact, "mambaprof": run_mambaprof,
+            "mambaprof2": run_mambaprof2}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         sys.exit(f"usage: python tools/chip_r5.py {{{'|'.join(cmds)}}}")
     cmds[sys.argv[1]]()
