@@ -100,9 +100,93 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][input_ids]
 
 
+# Concat axes for fusing linear leaves along the OUTPUT dim on stacked
+# (L, out, in) trees.  Packed int4 leaves pack along the INPUT dim, so the
+# out axis is still -2; per-channel scales and biases are (L, out).
+_FUSE_AXES = {"weight": -2, "w_int8": -2, "w_int4": -2, "w_int4pc": -2,
+              "scale": -1, "scale4": -2, "bias": -1}
+
+
+def _fuse_leaves(leaves):
+    """Row-concat same-scheme linear leaves, or None if not fusable."""
+    keys = set(leaves[0])
+    if any(set(l) != keys for l in leaves[1:]):
+        return None  # mixed quant schemes
+    if not keys <= set(_FUSE_AXES):
+        return None  # LoRA deltas or unknown extras — keep separate
+    cat = jax.jit(
+        lambda *xs, axis: jnp.concatenate(xs, axis=axis),
+        static_argnames=("axis",),
+    )
+    return {k: cat(*(l[k] for l in leaves), axis=_FUSE_AXES[k]) for k in keys}
+
+
+def fuse_text_linears(text_params: dict) -> dict:
+    """Serving-path decode fusion: q/k/v → one "qkv" leaf and mlp gate/up →
+    one "gateup" leaf, rows concatenated along the output dim.
+
+    1-token decode is pure weight bandwidth, and the v5e streams one fat
+    GEMM's operands faster than three thin ones — measured on-chip
+    (tools/_probe_decode_fusion.py): the scanned int8 decode-layer weight
+    stream runs 680 GB/s separate vs 732 fused, ~0.7 ms/token at 7B.
+    Row-concatenation changes no per-output-row dot (each output element
+    sums the same products in the same reduction order), so the fused
+    forward is BIT-IDENTICAL to the separate one — same contract as the
+    ViT serving fusion (models/vit.py fuse_vit_qkv).
+
+    Returns a new tree sharing every non-fused leaf; sources of fused
+    leaves are dropped from it (no duplicate residency, ADVICE r4).
+    Leaves with LoRA deltas or mixed quant schemes stay separate.  The
+    gate LM's tree must NOT be fused: its single-token shortcut
+    (_attn_block) reads only v, and a fused qkv would drag the dead q/k
+    bytes back into that stream.
+    """
+    out = dict(text_params)
+    layers = dict(out["layers"])
+    if all(k in layers for k in ("q", "k", "v")):
+        fused = _fuse_leaves([layers["q"], layers["k"], layers["v"]])
+        if fused is not None:
+            layers["qkv"] = fused
+            del layers["q"], layers["k"], layers["v"]
+    if "mlp" in layers and "gate" in layers["mlp"]:
+        mlp = dict(layers["mlp"])
+        fused = _fuse_leaves([mlp["gate"], mlp["up"]])
+        if fused is not None:
+            mlp["gateup"] = fused
+            del mlp["gate"], mlp["up"]
+            layers["mlp"] = mlp
+    out["layers"] = layers
+    return out
+
+
+def qkv_proj(x, lp, cfg: TextConfig):
+    """Project to (q, k, v) heads, on either the separate or the fused
+    (fuse_text_linears) layout.  Output-dim slicing of the fused product
+    reproduces the separate results bit-for-bit."""
+    b, s, _ = x.shape
+    if "qkv" in lp:
+        qkv = linear(x, lp["qkv"])
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+    else:
+        q = linear(x, lp["q"])
+        k = linear(x, lp["k"])
+        v = linear(x, lp["v"])
+    return (
+        q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+        k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+        v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
 def _mlp(x, p, cfg: TextConfig, moe_dispatch=None):
     if cfg.num_experts > 1:
         return _moe_mlp(x, p, cfg, moe_dispatch)
+    if "gateup" in p["mlp"]:
+        gu = linear(x, p["mlp"]["gateup"])
+        g, u = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        return linear(jax.nn.silu(g) * u, p["mlp"]["down"])
     g = jax.nn.silu(linear(x, p["mlp"]["gate"]))
     u = linear(x, p["mlp"]["up"])
     return linear(g * u, p["mlp"]["down"])
@@ -357,7 +441,7 @@ def _attn_block(
     written at cache_len and attention runs over the cache; else pure
     self-attention over the current block."""
     b, s, d = x.shape
-    if cache_k is None and s == 1 and kv_mask is None:
+    if cache_k is None and s == 1 and kv_mask is None and "v" in lp:
         # Single-token self-attention — the streaming gate LM's exact shape
         # (projector.gate_decision_step feeds ONE memory token, no cache;
         # reference builder.py:547-562 feeds x[0][-1] alone through
@@ -375,9 +459,7 @@ def _attn_block(
         v = linear(x, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         o = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
         return linear(o.reshape(b, s, cfg.q_dim), lp["o"]), None, None
-    q = linear(x, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = linear(x, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(x, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q, k, v = qkv_proj(x, lp, cfg)
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     q = apply_rope(q, cos, sin)

@@ -121,6 +121,28 @@ class StreamMindEngine:
 
             params = dict(params)
             params["vision"] = fuse_vit_qkv(params["vision"])
+        if mesh is None and "text" in params:
+            # decode-side fusion: q/k/v → qkv, mlp gate/up → gateup
+            # (bit-identical row-concat; measured 680 → 732 GB/s on the
+            # scanned int8 decode weight stream, ~0.7 ms/token at 7B —
+            # tools/_probe_decode_fusion.py).  Quantized trees always
+            # fuse; plain-float trees only at small dims — the concat
+            # transient (old + new gate/up live at once) is ~3.8 GB at
+            # 7B int8 but ~7.5 GB at bf16, which would push a 14.5 GB
+            # resting tree past a 16 GB chip.  The mesh path keeps
+            # separate leaves so the tensor-parallel partitioning rules
+            # apply unchanged; the gate LM tree (projector.cls_net) is
+            # never fused — its single-token shortcut reads only v.
+            from ..models.mistral import fuse_text_linears
+            from ..utils.params import param_bytes
+
+            q_leaf = params["text"].get("layers", {}).get("q", {})
+            quantized = isinstance(q_leaf, dict) and (
+                {"w_int8", "w_int4", "w_int4pc"} & set(q_leaf)
+            )
+            if quantized or param_bytes(params["text"]) < 2 << 30:
+                params = dict(params)
+                params["text"] = fuse_text_linears(params["text"])
         if mesh is not None:
             from ..parallel import shard_params
             from ..parallel.serving import mesh_fits_inference

@@ -290,9 +290,7 @@ def paged_text_forward(
     for l in range(cfg.num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
         y = rms_norm(x, lp["input_norm"]["weight"], cfg.rms_norm_eps)
-        q = linear(y, lp["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = linear(y, lp["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(y, lp["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = lm.qkv_proj(y, lp, cfg)  # fused or separate layout
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)

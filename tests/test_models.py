@@ -255,3 +255,56 @@ def test_vit_qkv_fusion_matches_separate(rng):
     # idempotent / already-fused trees pass through
     t = fuse_vit_qkv(fuse_vit_qkv(params))
     assert "qkv" in t["layers"] and "q" not in t["layers"]
+
+
+def test_text_fusion_matches_separate(rng):
+    """fuse_text_linears: fused qkv + gateup decode/prefill/train forwards
+    == separate leaves, across plain, int8 and int4pc trees (the engine's
+    serving-path decode fusion; row-concat changes no per-row dot)."""
+    from streammind_tpu.config import TextConfig
+    from streammind_tpu.models import mistral as lm
+    from streammind_tpu.utils.quantize import quantize_text_params
+
+    cfg = TextConfig(vocab_size=32, hidden_size=16, intermediate_size=32,
+                     num_layers=2, num_heads=4, num_kv_heads=2, head_dim=4,
+                     qkv_bias=True, tie_word_embeddings=True,
+                     max_position_embeddings=64)
+    base = lm.init_text_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(0, 32, (2, 7)), jnp.int32)
+
+    for tree in (base,
+                 quantize_text_params(base, bits=8),
+                 quantize_text_params(base, bits=4, scheme="pc")):
+        fused_tree = lm.fuse_text_linears(tree)
+        assert "qkv" in fused_tree["layers"] and "q" not in fused_tree["layers"]
+        assert "gateup" in fused_tree["layers"]["mlp"]
+        # training path (no cache)
+        ref, _ = lm.text_forward(tree, cfg, input_ids=ids)
+        got, _ = lm.text_forward(fused_tree, cfg, input_ids=ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+        # prefill + 1-token decode through the cache branch
+        cache = lm.init_kv_cache(cfg, 2, 16, jnp.float32)
+        ref_pre, ref_cache = lm.text_forward(tree, cfg, input_ids=ids,
+                                             cache=cache)
+        got_pre, got_cache = lm.text_forward(fused_tree, cfg, input_ids=ids,
+                                             cache=cache)
+        np.testing.assert_allclose(np.asarray(got_pre), np.asarray(ref_pre),
+                                   rtol=2e-6, atol=2e-6)
+        tok = ids[:, :1]
+        ref_dec, _ = lm.text_forward(tree, cfg, input_ids=tok, cache=ref_cache)
+        got_dec, _ = lm.text_forward(fused_tree, cfg, input_ids=tok,
+                                     cache=got_cache)
+        np.testing.assert_allclose(np.asarray(got_dec), np.asarray(ref_dec),
+                                   rtol=2e-6, atol=2e-6)
+
+    # LoRA-attached leaves must stay separate (delta cannot row-concat)
+    from streammind_tpu.train.lora import attach_lora, init_lora_params
+
+    lora = init_lora_params(jax.random.PRNGKey(1), base, r=2)
+    with_lora = attach_lora(base, lora, scaling=1.0)
+    t = lm.fuse_text_linears(with_lora)
+    assert "q" in t["layers"] and "qkv" not in t["layers"]
+    # idempotent on already-fused trees
+    t2 = lm.fuse_text_linears(lm.fuse_text_linears(base))
+    assert "qkv" in t2["layers"] and "q" not in t2["layers"]
